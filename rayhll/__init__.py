@@ -1,0 +1,9 @@
+"""rayhll — a Ray-Data-native distributed sketch / approximate-aggregation
+engine with the semantics of AdRoll/python-hll (see SURVEY.md)."""
+
+from rayhll.core.hlltype import HllType
+from rayhll.core.settings import HllSettings
+from rayhll.core.sketch import HllSketch
+
+__all__ = ["HllType", "HllSettings", "HllSketch"]
+__version__ = "0.1.0"

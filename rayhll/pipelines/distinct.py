@@ -1,0 +1,207 @@
+"""Flagship pipeline: distinct-count sketches over the source-code table.
+
+The BASELINE north-star job: over a Parquet table ``(repo, path, commit,
+lang, content)``, estimate distinct ``content``, ``path`` and ``(repo,
+commit)`` — globally and per ``(repo, lang)`` group — with the per-row
+``sha256(content)`` invariant emitted alongside.
+
+Stage layout (all Ray-Data-native, streaming):
+
+1. :class:`HashStage` — ``map_batches`` actor pool, zero-copy Arrow in/out:
+   appends ``content_sha256`` (the invariant digest) and ``content_raw64``
+   (first 8 digest bytes as signed int64 — the HLL raw value, so sha256 is
+   computed once per row, not once per use).
+2. :class:`MultiKeyBuild` — per batch, per group: three partial sketches
+   (content / path / repo+commit) in one pass over the batch; emits one
+   fixed-size row per (batch, group).
+3. ``groupby(("repo","lang")).map_groups`` — merges partial sketches per
+   group; the shuffle carries only sketch rows (~4 KiB per group per block),
+   so a pathological repo costs O(#blocks) sketch rows, never O(rows).
+4. finalize — integer estimates per key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rayhll.core.serde import from_bytes
+from rayhll.core.settings import HllSettings
+from rayhll.core.sketch import HllSketch
+from rayhll.functions import hashing
+
+GROUP_COLS = ("repo", "lang")
+KEYS = ("content", "path", "repo_commit")
+SKETCH_COLS = tuple(f"sketch_{k}" for k in KEYS)
+EST_COLS = tuple(f"est_distinct_{k}" for k in KEYS)
+
+
+class HashStage:
+    """Append ``content_sha256`` (hex) + ``content_raw64`` (int64) columns."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("content").to_pylist()
+        hexes = hashing.sha256_hex(texts)
+        raw = np.array(
+            [int(h[:16], 16) - (1 << 64 if int(h[:1], 16) >= 8 else 0) for h in hexes],
+            dtype=np.int64,
+        )
+        batch = batch.append_column("content_sha256", pa.array(hexes, type=pa.string()))
+        return batch.append_column("content_raw64", pa.array(raw, type=pa.int64()))
+
+
+class MultiKeyBuild:
+    """One partial-sketch row per (batch, group) with all three key sketches.
+
+    ``content`` uses the precomputed ``content_raw64`` column when present
+    (sha256-derived, the invariant hash), else the fast vectorized hash.
+    """
+
+    def __init__(self, settings: HllSettings | None = None, grouped: bool = True):
+        self.settings = settings or HllSettings(11, 5)
+        self.grouped = grouped
+
+    def _raws(self, batch: pa.Table) -> dict[str, np.ndarray]:
+        if "content_raw64" in batch.column_names:
+            content_raw = batch.column("content_raw64").to_numpy()
+        else:
+            content_raw = hashing.hash64_table(batch, ["content"])
+        return {
+            "content": content_raw,
+            "path": hashing.hash64_table(batch, ["path"]),
+            "repo_commit": hashing.hash64_table(batch, ["repo", "commit"]),
+        }
+
+    def _sketch_row(self, raws: dict[str, np.ndarray], sel: np.ndarray | slice) -> list[bytes]:
+        out = []
+        for k in KEYS:
+            sk = HllSketch(self.settings)
+            sk.add_batch(raws[k][sel])
+            out.append(sk.to_bytes())
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raws = self._raws(batch)
+        if not self.grouped:
+            blobs = self._sketch_row(raws, slice(None))
+            cols = {c: pa.array([b], type=pa.binary()) for c, b in zip(SKETCH_COLS, blobs)}
+            cols["rows_in"] = pa.array([len(batch)], type=pa.int64())
+            return pa.table(cols)
+        ghash = hashing.hash64_table(batch, list(GROUP_COLS), seed=0x6E0)
+        uniq, first_idx, codes = np.unique(ghash, return_index=True, return_inverse=True)
+        order = np.argsort(codes, kind="stable")
+        bounds = np.searchsorted(codes[order], np.arange(len(uniq)))
+        per_key: list[list[bytes]] = []
+        counts = []
+        sorted_raws = {k: v[order] for k, v in raws.items()}
+        for g in range(len(uniq)):
+            lo = bounds[g]
+            hi = bounds[g + 1] if g + 1 < len(uniq) else len(order)
+            per_key.append(self._sketch_row(sorted_raws, slice(lo, hi)))
+            counts.append(hi - lo)
+        out = batch.select(list(GROUP_COLS)).take(pa.array(first_idx))
+        for i, c in enumerate(SKETCH_COLS):
+            out = out.append_column(c, pa.array([row[i] for row in per_key], type=pa.binary()))
+        return out.append_column("rows_in", pa.array(counts, type=pa.int64()))
+
+
+def _merge_rows(table: pa.Table) -> tuple[list[HllSketch], int]:
+    accs: list[HllSketch | None] = [None] * len(KEYS)
+    for i, c in enumerate(SKETCH_COLS):
+        for blob in table.column(c):
+            sk = from_bytes(blob.as_py())
+            if accs[i] is None:
+                accs[i] = sk
+            else:
+                accs[i].union(sk)
+    rows = int(pc.sum(table.column("rows_in")).as_py() or 0)
+    return accs, rows
+
+
+def merge_partials_block(batch: pa.Table) -> pa.Table:
+    """Tree-merge step for the ungrouped variant."""
+    accs, rows = _merge_rows(batch)
+    cols = {
+        c: pa.array([a.to_bytes() if a else b""], type=pa.binary())
+        for c, a in zip(SKETCH_COLS, accs)
+    }
+    cols["rows_in"] = pa.array([rows], type=pa.int64())
+    return pa.table(cols)
+
+
+def merge_group(group: pa.Table) -> pa.Table:
+    accs, rows = _merge_rows(group)
+    out = group.select(list(GROUP_COLS)).slice(0, 1)
+    for c, a in zip(SKETCH_COLS, accs):
+        out = out.append_column(c, pa.array([a.to_bytes()], type=pa.binary()))
+    for c, a in zip(EST_COLS, accs):
+        out = out.append_column(c, pa.array([a.cardinality()], type=pa.int64()))
+    return out.append_column("rows_in", pa.array([rows], type=pa.int64()))
+
+
+def flagship_grouped(
+    ds,
+    settings: HllSettings | None = None,
+    batch_size: int | None = 65536,
+    concurrency=None,
+    include_sketches: bool = False,
+    hash_content: bool = True,
+):
+    """Per-(repo, lang) distinct estimates for all three keys.
+
+    Returns a Dataset with columns ``repo, lang, est_distinct_content,
+    est_distinct_path, est_distinct_repo_commit, rows_in`` (plus the three
+    serialized sketch columns when ``include_sketches``)."""
+    if hash_content:
+        ds = ds.map_batches(
+            HashStage(), batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+        )
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    if concurrency is not None:
+        partials = ds.map_batches(
+            MultiKeyBuild,
+            fn_constructor_kwargs=dict(settings=settings, grouped=True),
+            concurrency=concurrency,
+            **kwargs,
+        )
+    else:
+        partials = ds.map_batches(MultiKeyBuild(settings=settings, grouped=True), **kwargs)
+    merged = partials.groupby(list(GROUP_COLS)).map_groups(
+        merge_group, batch_format="pyarrow"
+    )
+    if include_sketches:
+        return merged
+    return merged.drop_columns(list(SKETCH_COLS))
+
+
+def flagship_global(
+    ds,
+    settings: HllSettings | None = None,
+    batch_size: int | None = 65536,
+    hash_content: bool = True,
+) -> pa.Table:
+    """Global distinct estimates for the three keys; one-row Arrow table."""
+    if hash_content:
+        ds = ds.map_batches(
+            HashStage(), batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+        )
+    partials = ds.map_batches(
+        MultiKeyBuild(settings=settings, grouped=False),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+    level1 = partials.map_batches(
+        merge_partials_block, batch_format="pyarrow", batch_size=4096
+    )
+    final = level1.repartition(1).map_batches(
+        merge_partials_block, batch_format="pyarrow", batch_size=None
+    )
+    row = final.take(1)[0]
+    cols: dict[str, list] = {}
+    for k, sc, ec in zip(KEYS, SKETCH_COLS, EST_COLS):
+        sk = from_bytes(row[sc])
+        cols[ec] = [sk.cardinality()]
+    cols["rows_in"] = [row["rows_in"]]
+    return pa.table(cols)

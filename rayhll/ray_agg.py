@@ -1,0 +1,218 @@
+"""High-level Ray Data API: approximate-distinct as a mergeable UDAF.
+
+Three entry styles (SURVEY.md §2.5 "Aggregations"):
+
+* :func:`approx_distinct` — global distinct count of one or more key columns;
+  partial sketches per block, distributed two-level tree merge, finalize.
+* :func:`grouped_approx_distinct` — distinct per group:
+  ``map_batches`` pre-aggregation (one sketch row per group per block) →
+  ``groupby(group_cols).map_groups`` merge.  The shuffle moves fixed-size
+  sketch rows, not input rows, so reducer skew is bounded by #groups, not by
+  the hottest group's row count.
+* :func:`HllDistinct` — a ``ray.data.aggregate.AggregateFn`` so the sketch
+  composes with Ray's own aggregate machinery:
+  ``ds.groupby(k).aggregate(HllDistinct(on="col"))``.
+
+All exchanges are storage-spec v1.0.0 bytes, so any stage's output is
+readable by postgresql-hll / java-hll and by every other stage.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import pyarrow as pa
+
+from ray.data.aggregate import AggregateFn
+
+from rayhll.core.serde import from_bytes
+from rayhll.core.settings import HllSettings
+from rayhll.core.sketch import HllSketch
+from rayhll.functions import hashing
+from rayhll.stages.build import (
+    ESTIMATE_COL,
+    SKETCH_COL,
+    BuildPartials,
+    finalize_estimate,
+    merge_group,
+    merge_sketch_rows,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+
+#: Sketch settings that keep every group in the exact EXPLICIT representation
+#: up to 2^17 distinct values (expthresh=18 — reference: python_hll/hll.py:106-117).
+#: Used by the oracle-gated correctness queries, where estimates must equal
+#: exact COUNT(DISTINCT); benchmark pipelines use probabilistic DEFAULT.
+EXACT_MODE = HllSettings(11, 5, expthresh=18)
+
+
+def build_partials(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    group_cols: list[str] | tuple[str, ...] = (),
+    settings: HllSettings | None = None,
+    hash_method: str = "fast",
+    batch_size: int | None = 65536,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """Collapse input rows to partial-sketch rows (see stages.build)."""
+    fn_args = dict(
+        key_cols=key_cols,
+        group_cols=group_cols,
+        settings=settings,
+        hash_method=hash_method,
+    )
+    kwargs = dict(
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+    if concurrency is not None:
+        # actor-pool form: settings construction amortized across batches
+        return ds.map_batches(
+            BuildPartials,
+            fn_constructor_kwargs=fn_args,
+            concurrency=concurrency,
+            **kwargs,
+        )
+    return ds.map_batches(BuildPartials(**fn_args), **kwargs)
+
+
+def tree_merge(
+    partials: "ray.data.Dataset", leaf_batch: int = 4096
+) -> "ray.data.Dataset":
+    """Distributed two-level merge of partial-sketch rows down to one row.
+
+    Level 1 merges up to ``leaf_batch`` partials per task in parallel; level 2
+    folds the survivors in a single task.  At 100 TB (~800k blocks) that is
+    ~200 level-1 tasks and one ~200-row final fold — sketches are ~1.3 KiB, so
+    no stage ever materializes meaningful data.
+    """
+    level1 = partials.map_batches(
+        merge_sketch_rows, batch_format="pyarrow", batch_size=leaf_batch
+    )
+    return level1.repartition(1).map_batches(
+        merge_sketch_rows, batch_format="pyarrow", batch_size=None
+    )
+
+
+def approx_distinct_sketch(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    settings: HllSettings | None = None,
+    hash_method: str = "fast",
+    **kwargs,
+) -> HllSketch:
+    """Global sketch over ``key_cols``; returns the merged HllSketch."""
+    partials = build_partials(
+        ds, key_cols, settings=settings, hash_method=hash_method, **kwargs
+    )
+    merged = tree_merge(partials)
+    row = merged.take(1)[0]
+    return from_bytes(row[SKETCH_COL])
+
+
+def approx_distinct(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    settings: HllSettings | None = None,
+    hash_method: str = "fast",
+    **kwargs,
+) -> int:
+    """Global approximate distinct count of ``key_cols``."""
+    return approx_distinct_sketch(
+        ds, key_cols, settings=settings, hash_method=hash_method, **kwargs
+    ).cardinality()
+
+
+def grouped_approx_distinct(
+    ds: "ray.data.Dataset",
+    group_cols: list[str],
+    key_cols: list[str],
+    settings: HllSettings | None = None,
+    hash_method: str = "fast",
+    batch_size: int | None = 65536,
+    concurrency=None,
+    include_sketch: bool = False,
+) -> "ray.data.Dataset":
+    """Distinct-per-group dataset: ``group_cols... , estimate:int64``.
+
+    The groupby shuffle sees only pre-aggregated sketch rows (one per group
+    per input block)."""
+    partials = build_partials(
+        ds,
+        key_cols,
+        group_cols=group_cols,
+        settings=settings,
+        hash_method=hash_method,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    merged = partials.groupby(group_cols).map_groups(
+        lambda g: merge_group(g, list(group_cols)), batch_format="pyarrow"
+    )
+    if include_sketch:
+        return merged
+    return merged.drop_columns([SKETCH_COL])
+
+
+class HllDistinct(AggregateFn):
+    """``ray.data`` AggregateFn: approximate COUNT(DISTINCT on).
+
+    Accumulates whole Arrow blocks vectorized; the aggregate state is an
+    ``HllSketch`` (pickled between stages by Ray), merged with the
+    associative union.  ``finalize`` yields the integer estimate.
+    """
+
+    def __init__(
+        self,
+        on: str,
+        settings: HllSettings | None = None,
+        alias_name: str | None = None,
+        hash_method: str = "fast",
+    ):
+        settings = settings or HllSettings(11, 5)
+
+        def _raw(block):
+            if not isinstance(block, pa.Table):
+                block = pa.Table.from_pandas(block)
+            if hash_method == "sha256":
+                return hashing.sha256_raw64(block.column(on))
+            return hashing.hash64_table(block, [on])
+
+        # The aggregate state crosses stage boundaries as storage-spec bytes
+        # (Arrow binary-friendly, interop-readable), not pickled objects.
+        def accumulate_block(agg: bytes, block) -> bytes:
+            sk = from_bytes(agg)
+            sk.add_batch(_raw(block))
+            return sk.to_bytes()
+
+        def merge(a: bytes, b: bytes) -> bytes:
+            sk = from_bytes(a)
+            sk.union(from_bytes(b))
+            return sk.to_bytes()
+
+        super().__init__(
+            init=lambda k: HllSketch(settings).to_bytes(),
+            merge=merge,
+            accumulate_block=accumulate_block,
+            finalize=lambda a: from_bytes(a).cardinality(),
+            name=alias_name or f"approx_distinct({on})",
+        )
+
+
+__all__ = [
+    "EXACT_MODE",
+    "ESTIMATE_COL",
+    "SKETCH_COL",
+    "HllDistinct",
+    "approx_distinct",
+    "approx_distinct_sketch",
+    "build_partials",
+    "grouped_approx_distinct",
+    "tree_merge",
+    "finalize_estimate",
+]

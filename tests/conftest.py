@@ -1,0 +1,18 @@
+"""Session-scoped Ray fixture — one ray.init per pytest session."""
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    yield
+    ray.shutdown()

@@ -149,6 +149,23 @@ def from_bytes(data: bytes | bytearray | memoryview) -> HllSketch:
     return sketch
 
 
+def settings_from_bytes(data: bytes) -> HllSettings:
+    """Reconstruct HllSettings from a serialized sketch's 3-byte header
+    (same field decoding as :func:`from_bytes`)."""
+    byte1, byte2 = data[1], data[2]
+    regwidth = ((byte1 >> 5) & 0x07) + 1
+    log2m = byte1 & 0x1F
+    sparseon = ((byte2 >> 6) & 1) == 1
+    cutoff = byte2 & 0x3F
+    if cutoff == EXPLICIT_AUTO_SENTINEL:
+        expthresh = -1
+    elif cutoff == EXPLICIT_OFF_SENTINEL:
+        expthresh = 0
+    else:
+        expthresh = cutoff
+    return HllSettings(log2m, regwidth, expthresh, sparseon)
+
+
 # ----------------------------------------------------------------------
 # PostgreSQL hex wire format (reference: python_hll/util.py:400-474):
 # uppercase hex of the byte sequence in array order, with a leading "\x".

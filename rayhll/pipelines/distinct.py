@@ -26,10 +26,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from rayhll.core import batchbuild
 from rayhll.core.serde import from_bytes
 from rayhll.core.settings import HllSettings
 from rayhll.core.sketch import HllSketch
 from rayhll.functions import hashing
+from rayhll.stages import build as build_stage
 
 GROUP_COLS = ("repo", "lang")
 KEYS = ("content", "path", "repo_commit")
@@ -58,9 +60,15 @@ class MultiKeyBuild:
     (sha256-derived, the invariant hash), else the fast vectorized hash.
     """
 
-    def __init__(self, settings: HllSettings | None = None, grouped: bool = True):
+    def __init__(
+        self,
+        settings: HllSettings | None = None,
+        grouped: bool = True,
+        num_buckets: int = 64,
+    ):
         self.settings = settings or HllSettings(11, 5)
         self.grouped = grouped
+        self.num_buckets = num_buckets
 
     def _raws(self, batch: pa.Table) -> dict[str, np.ndarray]:
         if "content_raw64" in batch.column_names:
@@ -89,21 +97,19 @@ class MultiKeyBuild:
             cols["rows_in"] = pa.array([len(batch)], type=pa.int64())
             return pa.table(cols)
         ghash = hashing.hash64_table(batch, list(GROUP_COLS), seed=0x6E0)
-        uniq, first_idx, codes = np.unique(ghash, return_index=True, return_inverse=True)
-        order = np.argsort(codes, kind="stable")
-        bounds = np.searchsorted(codes[order], np.arange(len(uniq)))
-        per_key: list[list[bytes]] = []
-        counts = []
-        sorted_raws = {k: v[order] for k, v in raws.items()}
-        for g in range(len(uniq)):
-            lo = bounds[g]
-            hi = bounds[g + 1] if g + 1 < len(uniq) else len(order)
-            per_key.append(self._sketch_row(sorted_raws, slice(lo, hi)))
-            counts.append(hi - lo)
+        per_key = {}
+        uniq = first_idx = counts = None
+        for k in KEYS:
+            uniq, first_idx, counts, per_key[k] = batchbuild.build_grouped_sketches(
+                self.settings, ghash, raws[k]
+            )
         out = batch.select(list(GROUP_COLS)).take(pa.array(first_idx))
-        for i, c in enumerate(SKETCH_COLS):
-            out = out.append_column(c, pa.array([row[i] for row in per_key], type=pa.binary()))
-        return out.append_column("rows_in", pa.array(counts, type=pa.int64()))
+        for k, c in zip(KEYS, SKETCH_COLS):
+            out = out.append_column(c, pa.array(per_key[k], type=pa.binary()))
+        out = out.append_column("rows_in", pa.array(counts, type=pa.int64()))
+        out = out.append_column(build_stage.GHASH_COL, pa.array(uniq, type=pa.int64()))
+        bucket = (uniq.view(np.uint64) % np.uint64(self.num_buckets)).astype(np.int64)
+        return out.append_column(build_stage.BUCKET_COL, pa.array(bucket, type=pa.int64()))
 
 
 def _merge_rows(table: pa.Table) -> tuple[list[HllSketch], int]:
@@ -143,7 +149,7 @@ def merge_group(group: pa.Table) -> pa.Table:
 def flagship_grouped(
     ds,
     settings: HllSettings | None = None,
-    batch_size: int | None = 65536,
+    batch_size: int | None = 262144,
     concurrency=None,
     include_sketches: bool = False,
     hash_content: bool = True,
@@ -167,18 +173,21 @@ def flagship_grouped(
         )
     else:
         partials = ds.map_batches(MultiKeyBuild(settings=settings, grouped=True), **kwargs)
-    merged = partials.groupby(list(GROUP_COLS)).map_groups(
-        merge_group, batch_format="pyarrow"
+    merger = build_stage.make_bucket_merger(
+        list(GROUP_COLS),
+        list(SKETCH_COLS),
+        list(EST_COLS),
+        include_sketch=include_sketches,
     )
-    if include_sketches:
-        return merged
-    return merged.drop_columns(list(SKETCH_COLS))
+    return partials.groupby(build_stage.BUCKET_COL).map_groups(
+        merger, batch_format="pyarrow"
+    )
 
 
 def flagship_global(
     ds,
     settings: HllSettings | None = None,
-    batch_size: int | None = 65536,
+    batch_size: int | None = 262144,
     hash_content: bool = True,
 ) -> pa.Table:
     """Global distinct estimates for the three keys; one-row Arrow table."""

@@ -76,14 +76,18 @@ def synth_code_batch(ids: np.ndarray, total_rows: int, seed: int = 42) -> pa.Tab
             "c2": (content_id * 40503) % 9973,
         }
     )
+    # commit id: 40-char token from two splitmix streams of the commit key
+    # (fully vectorized in polars — synthesis must not be the benchmark
+    # bottleneck; a digest-realistic hex string adds nothing)
+    ck = df["commit_key"].to_numpy().astype(np.uint64)
+    df = df.with_columns(
+        pl.Series("ch1", splitmix64(ck)),
+        pl.Series("ch2", splitmix64(ck ^ np.uint64(0xDEADBEEF))),
+    )
     df = df.with_columns(
         pl.format("org{}/repo{}", "org_id", "repo_id").alias("repo"),
         pl.format("src/{}/{}/file_{}.{}", "dir0", "dir1", "path_id", "ext").alias("path"),
-        pl.col("commit_key")
-        .map_batches(
-            lambda s: pl.Series(sha256_hex([str(v) for v in s.to_list()])).str.slice(0, 40)
-        )
-        .alias("commit"),
+        pl.format("c{}{}", "ch1", "ch2").str.slice(0, 40).alias("commit"),
         pl.format(
             "// synthetic module {}\n"
             "const SEED_{} = {};\n"

@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from rayhll.core import batchbuild
 from rayhll.core.serde import from_bytes
 from rayhll.core.settings import HllSettings
 from rayhll.core.sketch import HllSketch
@@ -34,7 +35,10 @@ from rayhll.functions import hashing
 SKETCH_COL = "sketch"
 ROWS_COL = "rows_in"
 ESTIMATE_COL = "estimate"
+GHASH_COL = "_ghash"
+BUCKET_COL = "_bucket"
 GROUP_HASH_SEED = 0x5EED_6800
+DEFAULT_NUM_BUCKETS = 64
 
 
 class BuildPartials:
@@ -53,6 +57,7 @@ class BuildPartials:
         settings: HllSettings | None = None,
         hash_method: str = "fast",
         seed: int = hashing.DEFAULT_SEED,
+        num_buckets: int = DEFAULT_NUM_BUCKETS,
     ):
         self.settings = settings or HllSettings(11, 5)
         self.key_cols = list(key_cols)
@@ -63,6 +68,7 @@ class BuildPartials:
             raise ValueError("sha256 hashing supports exactly one key column")
         self.hash_method = hash_method
         self.seed = seed
+        self.num_buckets = num_buckets
 
     def _raw64(self, batch: pa.Table) -> np.ndarray:
         if self.hash_method == "sha256":
@@ -81,25 +87,21 @@ class BuildPartials:
                 }
             )
         # Vectorized within-batch grouping: one composite hash of the group
-        # columns -> integer codes; python loops only over distinct groups.
+        # columns -> codes; all per-group sketches built in one pass
+        # (rayhll.core.batchbuild), python loop only over threshold-crossing
+        # groups.
         ghash = hashing.hash64_table(batch, self.group_cols, seed=GROUP_HASH_SEED)
-        uniq, first_idx, codes = np.unique(ghash, return_index=True, return_inverse=True)
-        order = np.argsort(codes, kind="stable")
-        boundaries = np.searchsorted(codes[order], np.arange(len(uniq)))
-        sketches = []
-        counts = []
-        raw_sorted = raw[order]
-        for g in range(len(uniq)):
-            lo = boundaries[g]
-            hi = boundaries[g + 1] if g + 1 < len(uniq) else len(raw_sorted)
-            sk = HllSketch(self.settings)
-            sk.add_batch(raw_sorted[lo:hi])
-            sketches.append(sk.to_bytes())
-            counts.append(hi - lo)
+        uniq, first_idx, counts, sketches = batchbuild.build_grouped_sketches(
+            self.settings, ghash, raw
+        )
         out = batch.select(self.group_cols).take(pa.array(first_idx))
         out = out.append_column(SKETCH_COL, pa.array(sketches, type=pa.binary()))
         out = out.append_column(ROWS_COL, pa.array(counts, type=pa.int64()))
-        return out
+        # carry the group hash so the reduce side can merge many groups per
+        # task, and a bucket id for the co-locating groupby
+        out = out.append_column(GHASH_COL, pa.array(uniq, type=pa.int64()))
+        bucket = (uniq.view(np.uint64) % np.uint64(self.num_buckets)).astype(np.int64)
+        return out.append_column(BUCKET_COL, pa.array(bucket, type=pa.int64()))
 
 
 def merge_sketch_rows(batch: pa.Table) -> pa.Table:
@@ -122,6 +124,76 @@ def merge_sketch_rows(batch: pa.Table) -> pa.Table:
             ROWS_COL: pa.array([rows_in], type=pa.int64()),
         }
     )
+
+
+def make_bucket_merger(
+    group_cols: list[str],
+    sketch_cols: list[str] = (SKETCH_COL,),
+    estimate_cols: list[str] | None = None,
+    include_sketch: bool = True,
+):
+    """Build the reduce fn for the bucketed grouped aggregation.
+
+    Receives ALL partial rows of one hash bucket (many groups) and merges
+    every group's sketches vectorized (rayhll.core.batchmerge); per-group
+    Python work is limited to threshold-crossing groups.  Emits one row per
+    group: group cols, merged sketch(es), integer estimate(s), summed rows.
+    """
+    from rayhll.core import batchmerge
+    from rayhll.core.serde import settings_from_bytes
+
+    estimate_cols = estimate_cols or [
+        ESTIMATE_COL if c == SKETCH_COL else f"estimate_{c}" for c in sketch_cols
+    ]
+
+    def merge_bucket(tbl: pa.Table) -> pa.Table:
+        codes = tbl.column(GHASH_COL).to_numpy()
+        uniq, inv = np.unique(codes, return_inverse=True)
+        first_idx = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first_idx, inv, np.arange(len(codes), dtype=np.int64))
+        out = tbl.select(group_cols).take(pa.array(first_idx))
+        for sc, ec in zip(sketch_cols, estimate_cols):
+            col = tbl.column(sc)
+            settings = settings_from_bytes(col[0].as_py())
+            _, _, merged = batchmerge.merge_grouped_blobs(settings, codes, col)
+            if include_sketch:
+                out = out.append_column(sc, pa.array(merged, type=pa.binary()))
+            ests = [batchmerge.blob_cardinality(b) for b in merged]
+            out = out.append_column(ec, pa.array(ests, type=pa.int64()))
+        rows = np.bincount(inv, weights=tbl.column(ROWS_COL).to_numpy()).astype(np.int64)
+        return out.append_column(ROWS_COL, pa.array(rows, type=pa.int64()))
+
+    return merge_bucket
+
+
+def make_local_premerge(group_cols: list[str], sketch_cols: list[str] = (SKETCH_COL,)):
+    """Combiner between build and shuffle: merge partial rows that share a
+    group hash *within* a batch (no co-location assumed), shrinking the sort
+    input by roughly the number of build outputs the batch spans.  Output
+    schema equals the build stage's partial schema."""
+    from rayhll.core import batchmerge
+    from rayhll.core.serde import settings_from_bytes
+
+    def premerge(tbl: pa.Table) -> pa.Table:
+        codes = tbl.column(GHASH_COL).to_numpy()
+        uniq, inv = np.unique(codes, return_inverse=True)
+        if len(uniq) == len(codes):  # nothing to combine
+            return tbl
+        first_idx = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first_idx, inv, np.arange(len(codes), dtype=np.int64))
+        out = tbl.select(group_cols).take(pa.array(first_idx))
+        for sc in sketch_cols:
+            col = tbl.column(sc)
+            settings = settings_from_bytes(col[0].as_py())
+            _, _, merged = batchmerge.merge_grouped_blobs(settings, codes, col)
+            out = out.append_column(sc, pa.array(merged, type=pa.binary()))
+        rows = np.bincount(inv, weights=tbl.column(ROWS_COL).to_numpy()).astype(np.int64)
+        out = out.append_column(ROWS_COL, pa.array(rows, type=pa.int64()))
+        out = out.append_column(GHASH_COL, pa.array(uniq, type=pa.int64()))
+        bucket = tbl.column(BUCKET_COL).take(pa.array(first_idx))
+        return out.append_column(BUCKET_COL, bucket)
+
+    return premerge
 
 
 def merge_group(group: pa.Table, group_cols: list[str]) -> pa.Table:

@@ -1,0 +1,425 @@
+"""Deduplication pipelines: exact, MinHash+LSH, SimHash, embedding-cosine.
+
+Shapes (all Ray-Data-native; the only wide ops are groupbys over compact
+derived rows, never over document payloads):
+
+* **exact**: vectorized content hash per batch → groupby hash-bucket →
+  keep min-id per hash (vectorized within bucket).  The shuffle carries
+  (hash, id) pairs only.
+* **MinHash+LSH**: tokenize → shingle hashes → per-doc MinHash signature
+  (one ragged ``reduceat`` per permutation) → band hashes → explode to
+  (band, band_hash, doc_id) rows → groupby band bucket → candidate pairs →
+  signature-verified Jaccard ≥ threshold.
+* **SimHash**: 64-bit simhash per doc (sign-sum of token-hash bits) →
+  4×16-bit chunk bucketing (pigeonhole: hamming ≤ 3 ⇒ some chunk equal) →
+  verify hamming within buckets.
+* **embedding**: random-hyperplane simhash of normalized vectors → bucket →
+  exact cosine verify within buckets (the scale path for all-pairs near-dup;
+  brute-force all-pairs is quadratic and never materialized).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from rayhll.functions.hashing import hash64_table, splitmix64
+from rayhll.pipelines.text import TOKEN_PATTERN
+from rayhll.sketches.minhash import band_hashes, signatures_for_offsets
+
+# ----------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup_keep_ids(ds, text_col: str, id_col: str, num_buckets: int = 64):
+    """Dataset of the ids kept by exact dedup (min id per distinct text).
+
+    Equivalent SQL: ``SELECT MIN(id) FROM t GROUP BY text``.
+    """
+
+    def hash_stage(batch: pa.Table) -> pa.Table:
+        h = hash64_table(batch, [text_col], seed=0xDD)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "_h": pa.array(h, type=pa.int64()),
+                "_bucket": pa.array(
+                    (h.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    def keep_min(tbl: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tbl)
+        out = df.group_by("_h").agg(pl.col(id_col).min()).select([id_col])
+        return out.to_arrow()
+
+    hashed = ds.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
+    return hashed.groupby("_bucket").map_groups(keep_min, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH near-dup
+
+
+class MinHashStage:
+    """Per-batch: tokenize, shingle, MinHash-sign every document.
+
+    Emits (id, band_0..band_{B-1}) plus the signature bytes.  Stateful
+    actor-friendly: permutation seeds fixed in ``__init__``.
+    """
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        num_perm: int = 128,
+        num_bands: int = 32,
+        gram: int = 3,
+    ):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.num_bands = num_bands
+        self.gram = gram
+
+    def shingle_hashes(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(flat shingle hashes uint64, offsets int64[n+1]) for the batch."""
+        df = pl.from_arrow(batch.select([self.text_col]))
+        toks = df.select(
+            pl.col(self.text_col).fill_null("").str.extract_all(TOKEN_PATTERN).alias("t")
+        )["t"]
+        lengths = toks.list.len().to_numpy().astype(np.int64)
+        flat = toks.explode().drop_nulls()
+        tok_h = (
+            pl.DataFrame({"t": flat})
+            .select(pl.col("t").hash(seed=41).alias("h"))["h"]
+            .to_numpy()
+            .astype(np.uint64)
+        )
+        g = self.gram
+        rolled = tok_h.copy()
+        for k in range(1, g):
+            rolled = splitmix64(rolled ^ np.roll(tok_h, -k))
+        valid = np.maximum(lengths - g + 1, 0)
+        # short docs: use their token hashes directly as shingles
+        shingle_counts = np.where(valid > 0, valid, lengths)
+        tok_offsets = np.concatenate(([0], np.cumsum(lengths)))
+        out_offsets = np.concatenate(([0], np.cumsum(shingle_counts)))
+        total = int(shingle_counts.sum())
+        flat_shingles = np.empty(total, dtype=np.uint64)
+        nz = np.flatnonzero(shingle_counts)
+        if len(nz):
+            cnt = shingle_counts[nz]
+            seg_starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            within = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(seg_starts, cnt)
+            src = np.repeat(tok_offsets[nz], cnt) + within
+            use_rolled = np.repeat(valid[nz] > 0, cnt)
+            flat_shingles[np.repeat(out_offsets[nz], cnt) + within] = np.where(
+                use_rolled, rolled[src], tok_h[src]
+            )
+        return flat_shingles, out_offsets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, offsets = self.shingle_hashes(batch)
+        sigs = signatures_for_offsets(flat, offsets, self.num_perm)
+        bands = band_hashes(sigs, self.num_bands)
+        out = {self.id_col: batch.column(self.id_col)}
+        out["signature"] = pa.array(
+            [s.tobytes() for s in sigs.astype("<u8")], type=pa.binary()
+        )
+        for b in range(self.num_bands):
+            out[f"band_{b}"] = pa.array(bands[:, b], type=pa.int64())
+        return pa.table(out)
+
+
+def _sig_from_bytes(blob: bytes) -> np.ndarray:
+    return np.frombuffer(blob, dtype="<u8").astype(np.uint64)
+
+
+def minhash_lsh_pairs(
+    ds,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    num_bands: int = 32,
+    gram: int = 3,
+):
+    """Dataset of near-duplicate pairs ``(id_a, id_b, jaccard)`` with
+    ``id_a < id_b`` and signature-estimated Jaccard >= threshold."""
+    stage = MinHashStage(text_col, id_col, num_perm, num_bands, gram)
+    signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    # explode to one (band_key, id, signature) row per band
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ids = batch.column(id_col)
+        sig = batch.column("signature")
+        keys, out_ids, out_sigs = [], [], []
+        for b in range(num_bands):
+            bh = batch.column(f"band_{b}").to_numpy()
+            # band id folded into the key so different bands never collide
+            keys.append(splitmix64(bh.view(np.uint64) ^ np.uint64(b + 1)).view(np.int64))
+            out_ids.append(ids)
+            out_sigs.append(sig)
+        band_key = np.concatenate(keys)
+        return pa.table(
+            {
+                "band_key": pa.array(band_key, type=pa.int64()),
+                # co-locating bucket: many band keys per reduce task
+                "bkt": pa.array(
+                    (band_key.view(np.uint64) % np.uint64(64)).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                id_col: pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in out_ids]
+                ),
+                "signature": pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in out_sigs]
+                ),
+            }
+        )
+
+    exploded = signed.map_batches(explode_bands, batch_format="pyarrow")
+
+    def bucket_pairs(tbl: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tbl)
+        a_ids, b_ids, jac = [], [], []
+        for _, grp in df.group_by("band_key"):
+            if len(grp) < 2:
+                continue
+            ids = grp[id_col].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            sigs = np.stack([_sig_from_bytes(s) for s in grp["signature"]])[order]
+            uniq_ids, first = np.unique(ids, return_index=True)
+            if len(uniq_ids) < 2:
+                continue
+            sigs = sigs[first]
+            for i in range(len(uniq_ids)):
+                eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+                hit = np.flatnonzero(eq >= threshold)
+                for j in hit:
+                    a_ids.append(int(uniq_ids[i]))
+                    b_ids.append(int(uniq_ids[i + 1 + j]))
+                    jac.append(float(eq[j]))
+        return pa.table(
+            {
+                "id_a": pa.array(a_ids, type=pa.int64()),
+                "id_b": pa.array(b_ids, type=pa.int64()),
+                "jaccard": pa.array(jac, type=pa.float64()),
+            }
+        )
+
+    pairs = exploded.groupby("bkt").map_groups(bucket_pairs, batch_format="pyarrow")
+
+    # distinct pairs (a pair can surface from several bands)
+    def add_pair_bucket(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("id_a").to_numpy()
+        return tbl.append_column(
+            "pbkt", pa.array((a % 64).astype(np.int64), type=pa.int64())
+        )
+
+    def dedup_pairs(tbl: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(tbl)
+            .unique(subset=["id_a", "id_b"])
+            .select(["id_a", "id_b", "jaccard"])
+            .to_arrow()
+        )
+
+    return (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pbkt")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+    )
+
+
+# ----------------------------------------------------------------------
+# SimHash near-dup
+
+
+class SimHashStage:
+    """64-bit SimHash per document (Charikar 2002): sign of the per-bit sum
+    of token hashes.  Vectorized: popcount via bit-unpacking of the token
+    hash matrix, one ``reduceat`` per batch."""
+
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([self.text_col]))
+        toks = df.select(
+            pl.col(self.text_col).fill_null("").str.extract_all(TOKEN_PATTERN).alias("t")
+        )["t"]
+        lengths = toks.list.len().to_numpy().astype(np.int64)
+        flat = toks.explode().drop_nulls()
+        tok_h = (
+            pl.DataFrame({"t": flat})
+            .select(pl.col("t").hash(seed=314).alias("h"))["h"]
+            .to_numpy()
+            .astype(np.uint64)
+        )
+        n = len(lengths)
+        sim = np.zeros(n, dtype=np.uint64)
+        if len(tok_h):
+            bits = np.unpackbits(tok_h.view(np.uint8).reshape(-1, 8), axis=1).astype(
+                np.int32
+            )  # (n_tokens, 64) in little-endian-byte order (consistent, that's all we need)
+            contrib = 2 * bits - 1
+            starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            nonempty = lengths > 0
+            sums = np.add.reduceat(contrib, starts[nonempty], axis=0)
+            bitvals = (sums > 0).astype(np.uint8)
+            packed = np.packbits(bitvals, axis=1).copy().view(np.uint64).ravel()
+            sim[nonempty] = packed
+        out = pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "simhash64": pa.array(sim.view(np.int64), type=pa.int64()),
+            }
+        )
+        # 4 x 16-bit chunk keys for hamming<=3 candidate bucketing
+        for c in range(4):
+            chunk = ((sim >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            out = out.append_column(f"chunk_{c}", pa.array(chunk * 4 + c, type=pa.int64()))
+        return out
+
+
+def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3):
+    """Near-duplicate pairs by SimHash hamming distance <= max_hamming."""
+    stage = SimHashStage(text_col, id_col)
+    signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in range(4):
+            ck = batch.column(f"chunk_{c}").to_numpy()
+            parts.append(
+                pa.table(
+                    {
+                        "chunk_key": batch.column(f"chunk_{c}"),
+                        "bkt": pa.array((ck % 64).astype(np.int64), type=pa.int64()),
+                        id_col: batch.column(id_col),
+                        "simhash64": batch.column("simhash64"),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    exploded = signed.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(tbl: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tbl)
+        a_ids, b_ids, dist = [], [], []
+        for _, grp in df.group_by("chunk_key"):
+            if len(grp) < 2:
+                continue
+            ids = grp[id_col].to_numpy()
+            sims = grp["simhash64"].to_numpy().astype(np.int64).view(np.uint64)
+            uniq_ids, first = np.unique(ids, return_index=True)
+            sims = sims[first]
+            if len(uniq_ids) < 2:
+                continue
+            for i in range(len(uniq_ids) - 1):
+                x = sims[i + 1 :] ^ sims[i]
+                hd = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+                hit = np.flatnonzero(hd <= max_hamming)
+                for j in hit:
+                    a_ids.append(int(uniq_ids[i]))
+                    b_ids.append(int(uniq_ids[i + 1 + j]))
+                    dist.append(int(hd[j]))
+        return pa.table(
+            {
+                "id_a": pa.array(a_ids, type=pa.int64()),
+                "id_b": pa.array(b_ids, type=pa.int64()),
+                "hamming": pa.array(dist, type=pa.int64()),
+            }
+        )
+
+    pairs = exploded.groupby("bkt").map_groups(bucket_pairs, batch_format="pyarrow")
+
+    def add_pair_bucket(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("id_a").to_numpy()
+        return tbl.append_column(
+            "pbkt", pa.array((a % 64).astype(np.int64), type=pa.int64())
+        )
+
+    def dedup_pairs(tbl: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(tbl)
+            .unique(subset=["id_a", "id_b"])
+            .select(["id_a", "id_b", "hamming"])
+            .to_arrow()
+        )
+
+    return (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pbkt")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+    )
+
+
+# ----------------------------------------------------------------------
+# embedding-cosine near-dup
+
+
+class HyperplaneStage:
+    """Random-hyperplane signature of normalized embeddings (vector SimHash):
+    ``num_planes`` seeded hyperplanes, signature bit = sign of projection.
+    The plane matrix is generated once per actor in ``__init__``."""
+
+    def __init__(self, vec_col: str, id_col: str, dim: int, num_planes: int = 16, seed: int = 0):
+        self.vec_col = vec_col
+        self.id_col = id_col
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, num_planes))
+        self.num_planes = num_planes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch.column(self.vec_col).to_pylist()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.maximum(norms, 1e-12)
+        proj = mat @ self.planes
+        bits = (proj > 0).astype(np.uint64)
+        sig = np.zeros(len(mat), dtype=np.uint64)
+        for p in range(self.num_planes):
+            sig |= bits[:, p] << np.uint64(p)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "bucket_sig": pa.array(sig.view(np.int64), type=pa.int64()),
+                "norm_vec": pa.array(list(mat), type=pa.list_(pa.float64())),
+            }
+        )
+
+
+def embedding_near_dup_pairs(
+    ds, vec_col: str, id_col: str, dim: int, threshold: float = 0.95, num_planes: int = 12
+):
+    """Pairs with cosine similarity >= threshold, found via hyperplane-LSH
+    buckets and exact cosine verification within each bucket."""
+    stage = HyperplaneStage(vec_col, id_col, dim, num_planes)
+    signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy()
+        mat = np.stack(tbl.column("norm_vec").to_pylist())
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        sims = mat @ mat.T
+        iu = np.triu_indices(len(ids), k=1)
+        hit = sims[iu] >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(ids[iu[0][hit]], type=pa.int64()),
+                "id_b": pa.array(ids[iu[1][hit]], type=pa.int64()),
+                "cosine": pa.array(sims[iu][hit], type=pa.float64()),
+            }
+        )
+
+    return signed.groupby("bucket_sig").map_groups(bucket_pairs, batch_format="pyarrow")

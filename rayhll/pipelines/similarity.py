@@ -1,0 +1,195 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+* :func:`brute_force_topk` — the exactness baseline: every batch computes a
+  partial top-k against the broadcast query matrix (one numpy matmul per
+  batch; queries travel via ``ray.put`` ONCE, read per task, never
+  re-shipped per batch), then a tiny reduce merges partial top-ks.
+* :func:`ivf_topk` — the scale path: an IVF index.  Centroids are trained on
+  a driver-side sample (k-means on <=50k rows is driver-trivial), broadcast
+  once, every batch assigns its vectors to their nearest centroid, and the
+  search probes only the ``nprobe`` closest lists.  At 100 TB the assignment
+  is a streaming map and the probe prunes ~(1 - nprobe/nlist) of the data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def _vec_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(col), -1)
+
+
+class _PartialTopK:
+    """Per-batch partial top-k vs the broadcast query matrix."""
+
+    def __init__(self, queries_ref, vec_col: str, id_col: str, k: int):
+        self.queries = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_vec_matrix(batch, self.vec_col))
+        ids = batch.column(self.id_col).to_numpy()
+        sims = self.queries @ mat.T  # (n_queries, n_batch)
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            sel = part[qi]
+            out_q.append(np.full(k, qi, dtype=np.int64))
+            out_id.append(ids[sel])
+            out_sim.append(sims[qi, sel])
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(out_q), type=pa.int64()),
+                self.id_col: pa.array(np.concatenate(out_id), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(out_sim), type=pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    ds, queries: np.ndarray, k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> pa.Table:
+    """Exact cosine top-k of each query row against the dataset.
+
+    Returns an Arrow table (query_idx, id_col, cosine, rank) with k rows per
+    query, rank 0 = most similar."""
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(queries)
+    partial = ds.map_batches(
+        _PartialTopK(qref, vec_col, id_col, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # reduce: all partial candidates (n_queries * k * n_blocks rows, tiny)
+    cand = partial.to_pandas()
+    out = {"query_idx": [], id_col: [], "cosine": [], "rank": []}
+    for qi, grp in cand.groupby("query_idx"):
+        top = grp.nlargest(k, "cosine")
+        out["query_idx"].extend([qi] * len(top))
+        out[id_col].extend(top[id_col].tolist())
+        out["cosine"].extend(top["cosine"].tolist())
+        out["rank"].extend(range(len(top)))
+    return pa.table(
+        {
+            "query_idx": pa.array(out["query_idx"], type=pa.int64()),
+            id_col: pa.array(out[id_col], type=pa.int64()),
+            "cosine": pa.array(out["cosine"], type=pa.float64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+        }
+    )
+
+
+def train_centroids(
+    ds, vec_col: str, nlist: int, sample_rows: int = 20000, iters: int = 8, seed: int = 0
+) -> np.ndarray:
+    """k-means centroids from a driver-side sample (normalized)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    mat = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class _IVFProbe:
+    """Probe stage: keep only vectors whose centroid is among each query's
+    ``nprobe`` nearest lists, then score them."""
+
+    def __init__(self, queries_ref, centroids_ref, vec_col, id_col, k, nprobe):
+        self.queries = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
+        self.centroids = np.asarray(ray.get(centroids_ref), dtype=np.float64)
+        qc = self.queries @ self.centroids.T
+        nprobe = min(nprobe, qc.shape[1])
+        self.probe_lists = np.argpartition(-qc, kth=nprobe - 1, axis=1)[:, :nprobe]
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_vec_matrix(batch, self.vec_col))
+        ids = batch.column(self.id_col).to_numpy()
+        assign = (mat @ self.centroids.T).argmax(axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(len(self.queries)):
+            mask = np.isin(assign, self.probe_lists[qi])
+            if not mask.any():
+                continue
+            sub = mat[mask]
+            sims = sub @ self.queries[qi]
+            k = min(self.k, len(sims))
+            sel = np.argpartition(-sims, kth=k - 1)[:k]
+            out_q.append(np.full(k, qi, dtype=np.int64))
+            out_id.append(ids[mask][sel])
+            out_sim.append(sims[sel])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_idx": pa.array([], type=pa.int64()),
+                    self.id_col: pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(out_q), type=pa.int64()),
+                self.id_col: pa.array(np.concatenate(out_id), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(out_sim), type=pa.float64()),
+            }
+        )
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 32,
+    nprobe: int = 8,
+) -> pa.Table:
+    """IVF-pruned approximate top-k (same output schema as brute force)."""
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    centroids = train_centroids(ds, vec_col, nlist)
+    qref, cref = ray.put(queries), ray.put(centroids)
+    partial = ds.map_batches(
+        _IVFProbe(qref, cref, vec_col, id_col, k, nprobe),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cand = partial.to_pandas()
+    out = {"query_idx": [], id_col: [], "cosine": [], "rank": []}
+    for qi, grp in cand.groupby("query_idx"):
+        top = grp.nlargest(k, "cosine")
+        out["query_idx"].extend([int(qi)] * len(top))
+        out[id_col].extend(top[id_col].tolist())
+        out["cosine"].extend(top["cosine"].tolist())
+        out["rank"].extend(range(len(top)))
+    return pa.table(
+        {
+            "query_idx": pa.array(out["query_idx"], type=pa.int64()),
+            id_col: pa.array(out[id_col], type=pa.int64()),
+            "cosine": pa.array(out["cosine"], type=pa.float64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+        }
+    )

@@ -1,0 +1,174 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All stages are vectorized ``map_batches`` callables over Arrow batches
+(polars/pyarrow.compute kernels; regexes compiled once per actor in
+``__init__``): quality stats, token counting, language-ID, and document
+fingerprinting.  Semantics of the oracle-gated columns are chosen to be
+exactly SQL-expressible (DuckDB equivalents noted per column).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rayhll.functions.hashing import splitmix64
+
+TOKEN_PATTERN = r"[A-Za-z0-9_]+"  # DuckDB: regexp_extract_all(text, ...)
+
+# Tiny stopword inventories for the n-gram/stopword language heuristic.
+# Public common-word lists; enough signal to separate the testdata's langs.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "es": ["que", "los", "las", "por", "con", "una", "para", "del", "como", "más"],
+    "fr": ["les", "des", "est", "dans", "pour", "une", "qui", "pas", "sur", "avec"],
+}
+
+
+class TextStats:
+    """Quality-scoring stage: length / punctuation / stopword-style ratios.
+
+    Output columns (DuckDB oracle equivalents):
+
+    * ``n_chars_calc``  — ``length(text)``
+    * ``n_tokens``      — ``length(regexp_extract_all(text, '[A-Za-z0-9_]+'))``
+    * ``n_spaces``      — ``length(text) - length(replace(text, ' ', ''))``
+    * ``alpha_ratio``   — alphabetic chars / chars (float64; rows-only check)
+    * ``quality_score`` — composite in [0,1] (rows-only check)
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([self.text_col]))
+        t = pl.col(self.text_col)
+        stats = df.select(
+            t.str.len_chars().cast(pl.Int64).alias("n_chars_calc"),
+            t.str.count_matches(TOKEN_PATTERN).cast(pl.Int64).alias("n_tokens"),
+            (t.str.len_chars() - t.str.replace_all(" ", "", literal=True).str.len_chars())
+            .cast(pl.Int64)
+            .alias("n_spaces"),
+            (
+                t.str.count_matches(r"[A-Za-zÀ-ÿ一-鿿]")
+                / pl.max_horizontal(t.str.len_chars(), pl.lit(1))
+            ).alias("alpha_ratio"),
+        ).to_arrow()
+        alpha = stats.column("alpha_ratio").to_numpy()
+        n_tokens = stats.column("n_tokens").to_numpy()
+        n_chars = stats.column("n_chars_calc").to_numpy()
+        avg_tok = n_chars / np.maximum(n_tokens, 1)
+        # crude composite: alphabetic, reasonable token length, non-trivial size
+        quality = (
+            0.5 * np.clip(alpha, 0, 1)
+            + 0.3 * np.exp(-0.5 * np.abs(avg_tok - 6.0) / 6.0)
+            + 0.2 * np.clip(np.log1p(n_chars) / np.log(1000), 0, 1)
+        )
+        out = batch
+        for name in ("n_chars_calc", "n_tokens", "n_spaces", "alpha_ratio"):
+            out = out.append_column(name, stats.column(name))
+        return out.append_column("quality_score", pa.array(quality, type=pa.float64()))
+
+
+class LangId:
+    """Stopword + script heuristic language identification.
+
+    Stateful actor stage: the per-language stopword regexes compile once per
+    actor.  CJK detection by Unicode block; alphabetic languages by
+    stopword-hit scoring normalized per token.  Deterministic; accuracy is
+    asserted against the testdata's ``lang`` labels in tests.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.patterns = {
+            lang: r"(?i)\b(" + "|".join(words) + r")\b"
+            for lang, words in STOPWORDS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([self.text_col]))
+        t = pl.col(self.text_col)
+        exprs = [
+            t.str.count_matches(pat).alias(f"hits_{lang}")
+            for lang, pat in self.patterns.items()
+        ]
+        exprs.append(t.str.count_matches(r"[一-鿿]").alias("hits_zh"))
+        exprs.append(t.str.count_matches(TOKEN_PATTERN).alias("_n_tok"))
+        scores = df.select(exprs).to_arrow()
+        langs = list(self.patterns) + ["zh"]
+        mat = np.stack([scores.column(f"hits_{l}").to_numpy() for l in langs]).astype(
+            np.float64
+        )
+        n_tok = np.maximum(scores.column("_n_tok").to_numpy(), 1)
+        mat[:-1] /= n_tok  # stopword hit rate per token
+        mat[-1] = (mat[-1] > 3).astype(np.float64) * 10.0  # CJK chars dominate
+        best = mat.argmax(axis=0)
+        conf = mat.max(axis=0)
+        pred = np.where(conf > 0.02, np.array(langs, dtype=object)[best], "und")
+        return batch.append_column(
+            "lang_pred", pa.array(pred.tolist(), type=pa.string())
+        ).append_column("lang_conf", pa.array(conf, type=pa.float64()))
+
+
+class Fingerprint:
+    """Winnowing-style document fingerprint (Schleimer et al. 2003, simplified):
+
+    * ``fingerprint64`` — 64-bit hash of the full text (polars xxhash);
+    * ``shingle_min64`` — minimum SplitMix64-mixed hash over the text's
+      token 3-grams (robust to small edits; equal values => near-identical
+      prefix content).
+    """
+
+    def __init__(self, text_col: str = "text", gram: int = 3):
+        self.text_col = text_col
+        self.gram = gram
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([self.text_col]))
+        fp = (
+            df.select(pl.col(self.text_col).hash(seed=1234).alias("h"))["h"]
+            .to_numpy()
+            .view(np.int64)
+        )
+        toks = df.select(
+            pl.col(self.text_col).str.extract_all(TOKEN_PATTERN).alias("t")
+        )["t"]
+        lengths = toks.list.len().to_numpy().astype(np.int64)
+        flat = toks.explode().drop_nulls()
+        flat_h = (
+            pl.DataFrame({"t": flat})
+            .select(pl.col("t").hash(seed=77).alias("h"))["h"]
+            .to_numpy()
+            .astype(np.uint64)
+        )
+        offsets = np.concatenate(([0], np.cumsum(lengths)))
+        g = self.gram
+        mins = np.full(len(lengths), (1 << 64) - 1, dtype=np.uint64)
+        # rolling 3-gram hash over token hashes, vectorized across the batch
+        if len(flat_h):
+            rolled = flat_h.copy()
+            for k in range(1, g):
+                shifted = np.roll(flat_h, -k)
+                rolled = splitmix64(rolled ^ shifted)
+            # valid 3-gram positions per doc: [offset, offset + len - g];
+            # one reduceat over the concatenated valid ranges (no doc loop)
+            valid_lens = np.maximum(lengths - g + 1, 0)
+            nz = np.flatnonzero(valid_lens)
+            if len(nz):
+                vl = valid_lens[nz]
+                seg_starts = np.concatenate(([0], np.cumsum(vl)[:-1]))
+                within = np.arange(int(vl.sum()), dtype=np.int64) - np.repeat(
+                    seg_starts, vl
+                )
+                pos = np.repeat(offsets[nz], vl) + within
+                mins[nz] = np.minimum.reduceat(rolled[pos], seg_starts)
+            # docs with < g tokens: fall back to the full-text hash
+            short = valid_lens == 0
+            mins[short] = fp[short].view(np.uint64)
+        return batch.append_column(
+            "fingerprint64", pa.array(fp, type=pa.int64())
+        ).append_column("shingle_min64", pa.array(mins.view(np.int64), type=pa.int64()))

@@ -1,0 +1,304 @@
+"""Distributed-correctness tests: Ray pipelines vs DuckDB / numpy oracles.
+
+One Ray session per pytest run (tests/conftest.py fixture)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_path():
+    return f"{SF}/documents.parquet"
+
+
+def test_grouped_approx_distinct_matches_oracle(ray_session, docs_path):
+    import ray.data as rd
+
+    from rayhll import ray_agg
+
+    ds = rd.read_parquet(docs_path, columns=["lang", "text"])
+    got = (
+        ray_agg.grouped_approx_distinct(ds, ["lang"], ["text"], settings=ray_agg.EXACT_MODE)
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"SELECT lang, COUNT(DISTINCT text) e FROM read_parquet('{docs_path}') "
+        "GROUP BY lang ORDER BY lang"
+    ).df()
+    assert list(got["lang"]) == list(want["lang"])
+    assert list(got["estimate"]) == list(want["e"])
+
+
+def test_global_distinct_and_aggregate_fn(ray_session, docs_path):
+    import ray.data as rd
+
+    from rayhll import ray_agg
+
+    ds = rd.read_parquet(docs_path, columns=["text"])
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT text) FROM read_parquet('{docs_path}')"
+    ).fetchone()[0]
+    assert ray_agg.approx_distinct(ds, ["text"], settings=ray_agg.EXACT_MODE) == exact
+    # probabilistic estimate within published bound (log2m=11 -> 2.3%, use 3σ)
+    est = ray_agg.approx_distinct(ds, ["text"])
+    assert abs(est - exact) / exact < 3 * 1.04 / np.sqrt(2**11)
+
+
+def test_merge_determinism_across_runs(ray_session, docs_path):
+    """Same input, two runs -> byte-identical merged sketches (the retry /
+    resume safety property)."""
+    import ray.data as rd
+
+    from rayhll import ray_agg
+
+    def run():
+        ds = rd.read_parquet(docs_path, columns=["text"])
+        return ray_agg.approx_distinct_sketch(ds, ["text"]).to_bytes()
+
+    assert run() == run()
+
+
+def test_exact_dedup_matches_oracle(ray_session, docs_path):
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import exact_dedup_keep_ids
+
+    ds = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    kept = sorted(exact_dedup_keep_ids(ds, "text", "doc_id").to_pandas()["doc_id"])
+    want = sorted(
+        duckdb.sql(
+            f"SELECT MIN(doc_id) FROM read_parquet('{docs_path}') GROUP BY text"
+        ).df()["min(doc_id)"]
+    )
+    assert kept == want
+
+
+def _near_dup_docs():
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain falls softly "
+        "on the quiet village roofs and the river runs towards the distant sea"
+    )
+    mutated = base.replace("quick", "speedy")  # 1 token of ~27 changed
+    different = (
+        "completely unrelated text about database engines sorting columns and "
+        "hash joins with vectorized execution kernels in a streaming runtime"
+    )
+    rows = []
+    for i in range(10):
+        rows.append({"doc_id": i, "text": f"{base} unique tail {i}"})
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base})  # exact dup of 100
+    rows.append({"doc_id": 102, "text": mutated})  # near dup of 100
+    rows.append({"doc_id": 103, "text": different})
+    return pa.Table.from_pylist(rows)
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import minhash_lsh_pairs
+
+    ds = rd.from_arrow(_near_dup_docs())
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5).to_pandas()
+    found = {tuple(p) for p in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (100, 101) in found  # exact dup always found
+    assert (100, 102) in found or (101, 102) in found  # near dup
+    assert all(103 not in p for p in found)  # unrelated never pairs
+
+
+def test_simhash_finds_exact_dups(ray_session):
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import simhash_pairs
+
+    ds = rd.from_arrow(_near_dup_docs())
+    pairs = simhash_pairs(ds, "text", "doc_id", max_hamming=3).to_pandas()
+    found = {tuple(p) for p in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (100, 101) in found
+    assert all(103 not in p for p in found)
+
+
+def test_text_stats_sql_semantics(ray_session, docs_path):
+    import ray.data as rd
+
+    from rayhll.pipelines.text import TextStats
+
+    ds = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    got = (
+        ds.map_batches(TextStats(), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc, "
+        "CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens, "
+        "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces "
+        f"FROM read_parquet('{docs_path}') ORDER BY doc_id"
+    ).df()
+    for col in ("n_chars_calc", "n_tokens", "n_spaces"):
+        assert list(got[col]) == list(want[col]), col
+    assert ((got["quality_score"] >= 0) & (got["quality_score"] <= 1)).all()
+
+
+def test_lang_id_on_real_snippets(ray_session):
+    import ray.data as rd
+
+    from rayhll.pipelines.text import LangId
+
+    rows = [
+        {"id": 0, "text": "the cat sat on the mat and it was happy in the sun", "lang": "en"},
+        {"id": 1, "text": "der Hund ist nicht mit der Katze auf das Sofa gegangen", "lang": "de"},
+        {"id": 2, "text": "los perros corren por las calles con una alegría enorme para todos", "lang": "es"},
+        {"id": 3, "text": "les enfants jouent dans le parc pour une heure avec leurs amis", "lang": "fr"},
+        {"id": 4, "text": "数据库系统使用哈希连接和排序合并来处理大规模数据集的查询计划", "lang": "zh"},
+    ]
+    out = (
+        rd.from_arrow(pa.Table.from_pylist(rows))
+        .map_batches(LangId(), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert list(out["lang_pred"]) == [r["lang"] for r in rows]
+
+
+def test_fingerprint_deterministic_and_edit_robust(ray_session):
+    import ray.data as rd
+
+    from rayhll.pipelines.text import Fingerprint
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [
+        {"id": 0, "text": base},
+        {"id": 1, "text": base},  # identical
+        {"id": 2, "text": base + " tail"},  # small edit
+        {"id": 3, "text": "zz"},  # shorter than one shingle
+    ]
+    out = (
+        rd.from_arrow(pa.Table.from_pylist(rows))
+        .map_batches(Fingerprint(), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out.fingerprint64[0] == out.fingerprint64[1]
+    assert out.fingerprint64[0] != out.fingerprint64[2]
+    assert out.shingle_min64[0] == out.shingle_min64[2]  # robust to the edit
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from rayhll.pipelines.similarity import brute_force_topk
+
+    emb_path = f"{SF}/embeddings.parquet"
+    ds = rd.read_parquet(emb_path)
+    tbl = duckdb.sql(f"SELECT vec_id, embedding FROM read_parquet('{emb_path}') ORDER BY vec_id").df()
+    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = mat[:2]
+    got = brute_force_topk(ds, q, k=5).to_pandas()
+    for qi in range(2):
+        sims = matn @ (q[qi] / np.linalg.norm(q[qi]))
+        want = set(np.argsort(-sims)[:5].tolist())
+        have = set(got[got.query_idx == qi]["vec_id"].tolist())
+        assert have == want, qi
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data as rd
+
+    from rayhll.pipelines.similarity import brute_force_topk, ivf_topk
+
+    emb_path = f"{SF}/embeddings.parquet"
+    ds = rd.read_parquet(emb_path)
+    q = np.stack(
+        duckdb.sql(
+            f"SELECT embedding FROM read_parquet('{emb_path}') WHERE vec_id < 3"
+        ).df()["embedding"].to_numpy()
+    ).astype(np.float64)
+    exact = brute_force_topk(ds, q, k=10).to_pandas()
+    approx = ivf_topk(ds, q, k=10, nlist=16, nprobe=8).to_pandas()
+    recalls = []
+    for qi in range(len(q)):
+        e = set(exact[exact.query_idx == qi]["vec_id"])
+        a = set(approx[approx.query_idx == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_multimodal_pipeline_fake_and_real_stub(ray_session):
+    import ray.data as rd
+
+    from rayhll.pipelines.multimodal import (
+        DecodeStage,
+        FrameSampleStage,
+        multimodal_pipeline,
+        synth_asset_table,
+    )
+
+    assets = synth_asset_table(30)
+    ds = rd.from_arrow(assets)
+    feats = multimodal_pipeline(ds, decoder="fake").to_pandas()
+    assert len(feats) == 30
+    assert all(len(v) == 64 for v in feats["features"])
+    # deterministic: same payload -> same features
+    feats2 = multimodal_pipeline(rd.from_arrow(assets), decoder="fake").to_pandas()
+    assert np.allclose(
+        np.stack(feats.sort_values("asset_id")["features"].to_numpy()),
+        np.stack(feats2.sort_values("asset_id")["features"].to_numpy()),
+    )
+    frames = (
+        rd.from_arrow(assets)
+        .map_batches(FrameSampleStage(frames_per_video=3), batch_format="pyarrow")
+        .count()
+    )
+    assert frames == 30 * 3
+    with pytest.raises(NotImplementedError, match="codec"):
+        DecodeStage(decoder="real")(assets)
+
+
+def test_bloom_prefilter_semijoin(ray_session):
+    """Bloom prefilter + exact verify == exact semi-join (the engine's
+    broadcast-join pattern)."""
+    import ray
+    import ray.data as rd
+
+    from rayhll.functions.hashing import hash64_table
+    from rayhll.sketches.bloom import BloomFilter
+
+    part_path = f"{SF}/part.parquet"
+    li_path = f"{SF}/lineitem.parquet"
+    keys_tbl = duckdb.sql(
+        f"SELECT p_partkey FROM read_parquet('{part_path}') WHERE p_size > 40"
+    ).arrow()
+    bf = BloomFilter.for_capacity(max(len(keys_tbl), 16), 0.001)
+    key_hashes = hash64_table(keys_tbl, ["p_partkey"], seed=3)
+    bf.add_batch(key_hashes)
+    exact_keys = set(keys_tbl.column("p_partkey").to_pylist())
+    blob_ref = ray.put(bf.to_bytes())
+    keys_ref = ray.put(exact_keys)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        f = BloomFilter.from_bytes(ray.get(blob_ref))
+        h = hash64_table(batch.rename_columns(["p_partkey"]), ["p_partkey"], seed=3)
+        cand = batch.filter(pa.array(f.contains_batch(h)))
+        ks = ray.get(keys_ref)
+        keep = pa.array([k in ks for k in cand.column(0).to_pylist()])
+        return cand.filter(keep)
+
+    ds = rd.read_parquet(li_path, columns=["l_partkey"])
+    got = ds.map_batches(prefilter, batch_format="pyarrow").count()
+    want = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{li_path}') l "
+        f"WHERE l_partkey IN (SELECT p_partkey FROM read_parquet('{part_path}') WHERE p_size > 40)"
+    ).fetchone()[0]
+    assert got == want

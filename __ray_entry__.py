@@ -179,6 +179,265 @@ def _q_hll_sketch_hex_by_lang(sf_dir: str):
     return merged.map_batches(hexify, batch_format="pyarrow")
 
 
+# ----------------------------------------------------------------------
+# dedup / text / sketch-family / similarity queries
+
+
+def _q_dedup_exact_documents(sf_dir: str):
+    from rayhll.pipelines.dedup import exact_dedup_keep_ids
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup_keep_ids(ds, "text", "doc_id")
+
+
+def _q_text_stats_documents(sf_dir: str):
+    from rayhll.pipelines.text import TextStats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(TextStats(), batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "n_chars_calc", "n_tokens", "n_spaces"])
+
+
+def _q_bloom_semijoin_lineitem_part(sf_dir: str):
+    import pyarrow as pa
+    import ray
+
+    from rayhll.functions.hashing import hash64_table
+    from rayhll.sketches.bloom import BloomFilter
+
+    import duckdb
+
+    part_path = os.path.join(sf_dir, "part.parquet")
+    keys_tbl = duckdb.sql(
+        f"SELECT p_partkey FROM read_parquet('{part_path}') WHERE p_size > 40"
+    ).arrow()
+    bf = BloomFilter.for_capacity(max(len(keys_tbl), 16), 0.001)
+    bf.add_batch(hash64_table(keys_tbl, ["p_partkey"], seed=3))
+    exact_keys = set(keys_tbl.column("p_partkey").to_pylist())
+    blob_ref = ray.put(bf.to_bytes())
+    keys_ref = ray.put(exact_keys)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        f = BloomFilter.from_bytes(ray.get(blob_ref))
+        h = hash64_table(batch, ["l_partkey"], seed=3)
+        cand = batch.filter(pa.array(f.contains_batch(h)))
+        ks = ray.get(keys_ref)
+        keep = pa.array([k in ks for k in cand.column("l_partkey").to_pylist()])
+        return cand.filter(keep)
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey"])
+    n = ds.map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True).count()
+    return pa.table({"n_rows": pa.array([n], type=pa.int64())})
+
+
+def _q_countmin_event_type_counts(sf_dir: str):
+    import duckdb
+    import pyarrow as pa
+
+    from rayhll import ray_agg
+    from rayhll.functions.hashing import hash64_table
+    from rayhll.sketches.countmin import CountMinSketch
+
+    def build(batch: pa.Table) -> bytes:
+        cm = CountMinSketch(5, 1 << 14)
+        cm.add_batch(hash64_table(batch, ["event_type"], seed=9))
+        return cm.to_bytes()
+
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    cm = ray_agg.aggregate_family(ds, build, CountMinSketch)
+    types = duckdb.sql(
+        "SELECT DISTINCT event_type FROM read_parquet("
+        f"'{os.path.join(sf_dir, 'events.parquet')}') ORDER BY event_type"
+    ).df()["event_type"].tolist()
+    probe = pa.table({"event_type": types})
+    ests = cm.estimate_batch(hash64_table(probe, ["event_type"], seed=9))
+    return pa.table(
+        {
+            "event_type": pa.array(types, type=pa.string()),
+            "est_count": pa.array(ests, type=pa.int64()),
+        }
+    )
+
+
+def _q_tdigest_price_quantiles(sf_dir: str):
+    """Approximate quantiles (rows-only; rank-error bound tested in pytest)."""
+    import pyarrow as pa
+
+    from rayhll import ray_agg
+    from rayhll.sketches.tdigest import TDigest
+
+    def build(batch: pa.Table) -> bytes:
+        td = TDigest(compression=200)
+        td.add_batch(batch.column("l_extendedprice").to_numpy())
+        return td.to_bytes()
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    td = ray_agg.aggregate_family(ds, build, TDigest)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    return pa.table(
+        {
+            "q": pa.array(qs, type=pa.float64()),
+            "quantile_est": pa.array([td.quantile(q) for q in qs], type=pa.float64()),
+        }
+    )
+
+
+def _q_kll_event_value_quantiles(sf_dir: str):
+    """KLL quantiles of events.value (rows-only; bound tested in pytest)."""
+    import pyarrow as pa
+
+    from rayhll import ray_agg
+    from rayhll.sketches.kll import KLLSketch
+
+    def build(batch: pa.Table) -> bytes:
+        sk = KLLSketch(k=200)
+        sk.add_batch(batch.column("value").to_numpy())
+        return sk.to_bytes()
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    sk = ray_agg.aggregate_family(ds, build, KLLSketch)
+    qs = [0.1, 0.5, 0.9]
+    return pa.table(
+        {
+            "q": pa.array(qs, type=pa.float64()),
+            "quantile_est": pa.array([sk.quantile(q) for q in qs], type=pa.float64()),
+        }
+    )
+
+
+def _q_ann_topk_embeddings(sf_dir: str):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from rayhll.pipelines.similarity import brute_force_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = np.stack(
+        duckdb.sql(
+            f"SELECT embedding FROM read_parquet('{emb_path}') WHERE vec_id = 0"
+        ).df()["embedding"].to_numpy()
+    )
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, q, k=10)
+    return pa.table({"vec_id": out.column("vec_id")})
+
+
+def _q_ivf_topk_embeddings(sf_dir: str):
+    """IVF approximate top-k (rows-only; recall tested in pytest)."""
+    import duckdb
+    import numpy as np
+
+    from rayhll.pipelines.similarity import ivf_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = np.stack(
+        duckdb.sql(
+            f"SELECT embedding FROM read_parquet('{emb_path}') WHERE vec_id = 0"
+        ).df()["embedding"].to_numpy()
+    )
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, q, k=10, nlist=16, nprobe=8)
+
+
+def _q_minhash_near_dup_pairs(sf_dir: str):
+    """MinHash+LSH near-duplicate pairs over documents (rows-only)."""
+    from rayhll.pipelines.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.8)
+
+
+def _q_simhash_fingerprints(sf_dir: str):
+    """64-bit SimHash per document (deterministic; rows-only)."""
+    from rayhll.pipelines.dedup import SimHashStage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(SimHashStage("text", "doc_id"), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "simhash64"])
+
+
+def _q_lang_id_documents(sf_dir: str):
+    """Heuristic language-ID (rows-only; accuracy tested on labeled snippets)."""
+    from rayhll.pipelines.text import LangId
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(LangId(), batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "lang_pred", "lang_conf"])
+
+
+def _q_fingerprint_documents(sf_dir: str):
+    """Winnowing-style fingerprints (deterministic; rows-only)."""
+    from rayhll.pipelines.text import Fingerprint
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(Fingerprint(), batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "fingerprint64", "shingle_min64"])
+
+
+def _q_embedding_near_dup_pairs(sf_dir: str):
+    """Hyperplane-LSH cosine near-duplicates over embeddings (rows-only).
+
+    The synthetic embeddings have no natural near-dups (max pairwise cosine
+    ~0.51), so the query deterministically injects perturbed copies
+    (vec_id + 1_000_000, noise scale 0.02) and detects them — the found
+    pairs are exactly the injected ones."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def with_perturbed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        keep = ids < 50
+        if not keep.any():
+            return batch
+        sub_ids = ids[keep]
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), -1)[keep]
+        # per-row deterministic noise (independent of batch boundaries)
+        from rayhll.functions.hashing import splitmix64
+
+        cells = (
+            sub_ids[:, None].astype(np.uint64) * np.uint64(1024)
+            + np.arange(mat.shape[1], dtype=np.uint64)[None, :]
+        )
+        unit = splitmix64(cells.ravel()).reshape(mat.shape).astype(np.float64) / 2.0**64
+        noisy = (mat + 0.05 * (unit - 0.5).astype(mat.dtype)).astype(mat.dtype)
+        extra = pa.table(
+            {
+                "vec_id": pa.array(sub_ids + 1_000_000, type=pa.int64()),
+                "embedding": pa.array(
+                    [row for row in noisy], type=batch.schema.field("embedding").type
+                ),
+            }
+        )
+        return pa.concat_tables([batch, extra.cast(batch.schema)])
+
+    augmented = ds.map_batches(with_perturbed, batch_format="pyarrow")
+    return embedding_near_dup_pairs(
+        augmented, "embedding", "vec_id", dim=64, threshold=0.9, num_planes=6
+    )
+
+
+def _q_multimodal_features(sf_dir: str):
+    """Multimodal decode+feature pipeline over synthetic binary assets
+    (deterministic fake decoder; rows-only)."""
+    import ray.data as rd
+
+    from rayhll.pipelines.multimodal import multimodal_pipeline, synth_asset_table
+
+    ds = rd.from_arrow(synth_asset_table(200))
+    return multimodal_pipeline(ds, decoder="fake").select_columns(
+        ["asset_id", "media_type"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "hll_distinct_text": _q_distinct_text,
@@ -191,6 +450,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_code_global": _q_flagship_code_global,
         "hll_estimate_text_probabilistic": _q_hll_estimate_text_probabilistic,
         "hll_sketch_hex_by_lang": _q_hll_sketch_hex_by_lang,
+        "dedup_exact_documents": _q_dedup_exact_documents,
+        "text_stats_documents": _q_text_stats_documents,
+        "bloom_semijoin_lineitem_part": _q_bloom_semijoin_lineitem_part,
+        "countmin_event_type_counts": _q_countmin_event_type_counts,
+        "tdigest_price_quantiles": _q_tdigest_price_quantiles,
+        "kll_event_value_quantiles": _q_kll_event_value_quantiles,
+        "ann_topk_embeddings": _q_ann_topk_embeddings,
+        "ivf_topk_embeddings": _q_ivf_topk_embeddings,
+        "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
+        "simhash_fingerprints": _q_simhash_fingerprints,
+        "lang_id_documents": _q_lang_id_documents,
+        "fingerprint_documents": _q_fingerprint_documents,
+        "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -220,6 +493,28 @@ def oracle_sql() -> dict[str, str]:
             "AS distinct_custkey FROM orders GROUP BY o_orderstatus"
         ),
         "sha256_invariant": "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "dedup_exact_documents": (
+            "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text"
+        ),
+        "text_stats_documents": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc, "
+            "CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens, "
+            "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces "
+            "FROM documents"
+        ),
+        "bloom_semijoin_lineitem_part": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem WHERE l_partkey IN "
+            "(SELECT p_partkey FROM part WHERE p_size > 40)"
+        ),
+        "countmin_event_type_counts": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_count "
+            "FROM events GROUP BY event_type"
+        ),
+        "ann_topk_embeddings": (
+            "SELECT vec_id FROM (SELECT vec_id, list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS sim "
+            "FROM embeddings) ORDER BY sim DESC LIMIT 10"
+        ),
         "flagship_code_global": (
             "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS est_distinct_content, "
             "CAST(COUNT(DISTINCT ('docs/' || lang || '/doc_' || doc_id || '.txt')) AS BIGINT) "

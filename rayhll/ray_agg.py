@@ -164,6 +164,33 @@ def grouped_approx_distinct(
     return partials.groupby(BUCKET_COL).map_groups(merger, batch_format="pyarrow")
 
 
+def aggregate_family(ds: "ray.data.Dataset", build_partial, family_cls, leaf_batch: int = 1024):
+    """Generic distributed aggregation for any sketch family
+    (rayhll.sketches.base.Sketch): ``build_partial(batch) -> bytes`` per
+    block, then a two-level tree merge with the family's associative
+    ``merge``.  Returns the merged sketch object."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"blob": pa.array([build_partial(batch)], type=pa.binary())})
+
+    def merge_blobs(batch: pa.Table) -> pa.Table:
+        acc = None
+        for b in batch.column("blob"):
+            sk = family_cls.from_bytes(b.as_py())
+            if acc is None:
+                acc = sk
+            else:
+                acc.merge(sk)
+        return pa.table({"blob": pa.array([acc.to_bytes()], type=pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    level1 = partials.map_batches(merge_blobs, batch_format="pyarrow", batch_size=leaf_batch)
+    final = level1.repartition(1).map_batches(
+        merge_blobs, batch_format="pyarrow", batch_size=None
+    )
+    return family_cls.from_bytes(final.take(1)[0]["blob"])
+
+
 class HllDistinct(AggregateFn):
     """``ray.data`` AggregateFn: approximate COUNT(DISTINCT on).
 

@@ -1,0 +1,130 @@
+"""Command-line entry points.
+
+Examples::
+
+    python -m rayhll.cli flagship --input '/data/code/*.parquet' --output /tmp/out
+    python -m rayhll.cli distinct --input '/data/t.parquet' --key content --group repo,lang
+    python -m rayhll.cli bench
+
+Designed for ``ray job submit -- python -m rayhll.cli ...`` on a cluster;
+locally it initializes Ray itself (guarded, so a driver-owned session is
+respected).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False, ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_flagship(args) -> int:
+    from rayhll.core.settings import HllSettings
+    from rayhll.state.checkpoint import flagship_checkpointed
+
+    _ensure_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    settings = HllSettings(args.log2m, args.regwidth, expthresh=args.expthresh)
+    result = flagship_checkpointed(files, args.output, settings=settings)
+    print(
+        json.dumps(
+            {
+                "groups": result.num_rows,
+                "output": args.output,
+                "partitions": len(files),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_distinct(args) -> int:
+    import ray.data as rd
+
+    from rayhll import ray_agg
+    from rayhll.core.settings import HllSettings
+
+    _ensure_ray(args.num_cpus)
+    settings = HllSettings(args.log2m, args.regwidth, expthresh=args.expthresh)
+    ds = rd.read_parquet(sorted(glob.glob(args.input)))
+    keys = args.key.split(",")
+    if args.group:
+        out = ray_agg.grouped_approx_distinct(
+            ds, args.group.split(","), keys, settings=settings
+        )
+        if args.output:
+            out.write_parquet(args.output)
+            print(json.dumps({"groups": out.count(), "output": args.output}))
+        else:
+            for row in out.take_all():
+                print(json.dumps(row, default=str))
+    else:
+        est = ray_agg.approx_distinct(ds, keys, settings=settings)
+        print(json.dumps({"keys": keys, "estimate": est}))
+    return 0
+
+
+def cmd_conformance(args) -> int:
+    import subprocess
+
+    return subprocess.call(
+        [sys.executable, "-m", "pytest", "tests/conformance", "-q"] + (
+            ["-x"] if args.fail_fast else []
+        )
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="rayhll")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("flagship", help="checkpointed flagship run over code parquet")
+    f.add_argument("--input", required=True, help="input parquet glob")
+    f.add_argument("--output", required=True, help="checkpoint/output directory")
+    f.add_argument("--log2m", type=int, default=11)
+    f.add_argument("--regwidth", type=int, default=5)
+    f.add_argument("--expthresh", type=int, default=-1)
+    f.add_argument("--num-cpus", type=int, default=None)
+    f.set_defaults(fn=cmd_flagship)
+
+    d = sub.add_parser("distinct", help="approximate distinct count")
+    d.add_argument("--input", required=True)
+    d.add_argument("--key", required=True, help="comma-separated key columns")
+    d.add_argument("--group", default=None, help="comma-separated group columns")
+    d.add_argument("--output", default=None, help="parquet output dir (grouped mode)")
+    d.add_argument("--log2m", type=int, default=11)
+    d.add_argument("--regwidth", type=int, default=5)
+    d.add_argument("--expthresh", type=int, default=-1)
+    d.add_argument("--num-cpus", type=int, default=None)
+    d.set_defaults(fn=cmd_distinct)
+
+    c = sub.add_parser("conformance", help="replay the golden corpus")
+    c.add_argument("--fail-fast", action="store_true")
+    c.set_defaults(fn=cmd_conformance)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

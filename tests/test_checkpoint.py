@@ -1,0 +1,80 @@
+"""Checkpoint/resume: crash mid-run, resume, byte-identical final output."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rayhll.state.checkpoint import Manifest, flagship_checkpointed, run_checkpointed
+
+
+@pytest.fixture()
+def code_files(tmp_path):
+    """Three small input-hint parquet shards."""
+    from rayhll.sources.synth import synth_code_batch
+    import numpy as np
+
+    files = []
+    total = 3000
+    for i in range(3):
+        t = synth_code_batch(np.arange(i * 1000, (i + 1) * 1000), total)
+        p = tmp_path / f"shard-{i}.parquet"
+        pq.write_table(t, p)
+        files.append(str(p))
+    return files
+
+
+def test_crash_resume_byte_identical(ray_session, code_files, tmp_path):
+    clean_dir = str(tmp_path / "clean")
+    crash_dir = str(tmp_path / "crash")
+
+    clean = flagship_checkpointed(code_files, clean_dir)
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        flagship_checkpointed(code_files, crash_dir, fail_after=1)
+    # resume: completes only the remaining partitions
+    resumed = flagship_checkpointed(code_files, crash_dir)
+    assert resumed.equals(clean)
+    # result files byte-identical
+    a = open(os.path.join(clean_dir, "result", "result.parquet"), "rb").read()
+    b = open(os.path.join(crash_dir, "result", "result.parquet"), "rb").read()
+    assert a == b
+
+
+def test_resume_skips_done_partitions(ray_session, code_files, tmp_path):
+    out = str(tmp_path / "out")
+    flagship_checkpointed(code_files, out)
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert all(p["status"] == "done" for p in manifest["partitions"].values())
+    assert all(p["attempts"] == 1 for p in manifest["partitions"].values())
+    # second run: no partition re-executed (attempts unchanged)
+    flagship_checkpointed(code_files, out)
+    manifest2 = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest2 == manifest
+    # per-partition metrics exist
+    for pid in manifest["partitions"]:
+        m = json.load(open(os.path.join(out, "metrics", f"part-{pid}.json")))
+        assert m["rows_out"] > 0 and m["wall_s"] >= 0
+
+
+def test_settings_mismatch_refuses(tmp_path):
+    out = str(tmp_path / "out")
+    inputs = {"a": pa.table({"x": [1]})}
+
+    run_checkpointed(out, inputs, lambda t: t, lambda ps: pq.read_table(ps[0]), settings_obj="s1")
+    with pytest.raises(ValueError, match="settings mismatch"):
+        run_checkpointed(
+            out, inputs, lambda t: t, lambda ps: pq.read_table(ps[0]), settings_obj="s2"
+        )
+
+
+def test_manifest_atomicity(tmp_path):
+    m = Manifest.load_or_create(str(tmp_path), "h", ["p1", "p2"])
+    m.mark_done("p1", rows_out=5)
+    m2 = Manifest.load_or_create(str(tmp_path), "h", ["p1", "p2"])
+    assert m2.partitions["p1"]["status"] == "done"
+    assert m2.pending() == ["p2"]

@@ -82,6 +82,12 @@ def run_queries() -> tuple[dict, float]:
         ds = synth_code_dataset(SYNTH_ROWS, override_num_blocks=NUM_CPUS * 4)
         return distinct.flagship_grouped(ds, hash_content=False).count()
 
+    # untimed warmup: spin up the worker pool + import polars/numpy in
+    # workers so q1 doesn't pay cold-start
+    synth_code_dataset(100_000, override_num_blocks=NUM_CPUS).map_batches(
+        lambda t: t.select(["repo"]).slice(0, 1), batch_format="pyarrow"
+    ).count()
+
     timed("q1_flagship_docs", q1)
     timed("q2_lineitem_composite_distinct", q2)
     timed("q3_events_grouped_users", q3)
@@ -122,8 +128,14 @@ def main() -> None:
 
 
 def scaling() -> None:
+    # the scaling measurement needs enough work to amortize fixed startup at
+    # the high level (6M rows ≈ 8-10 s at the high level on this VM)
+    scaling_rows = os.environ.get("RAYHLL_SCALE_ROWS", "6000000")
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), RAYHLL_BENCH_SYNTH_ROWS=scaling_rows
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -438,6 +438,46 @@ def _q_multimodal_features(sf_dir: str):
     )
 
 
+# ----------------------------------------------------------------------
+# windowed aggregates + heavy hitters
+
+
+def _q_window_tumbling_distinct_users(sf_dir: str):
+    from rayhll import ray_agg
+    from rayhll.pipelines import windows
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    out = windows.tumbling_window_distinct(
+        ds, "ts", ["user_id"], settings=ray_agg.EXACT_MODE
+    )
+    return out.drop_columns(["rows_in"]).rename_columns({"estimate": "distinct_users"})
+
+
+def _q_window_sliding_distinct_users(sf_dir: str):
+    from rayhll import ray_agg
+    from rayhll.pipelines import windows
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    out = windows.sliding_window_distinct(
+        ds, "ts", ["user_id"], settings=ray_agg.EXACT_MODE
+    )
+    return out.drop_columns(["rows_in"]).rename_columns({"estimate": "distinct_users"})
+
+
+def _q_session_windows_events(sf_dir: str):
+    from rayhll.pipelines import windows
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    return windows.session_windows(ds, "ts", "user_id", gap_us=windows.US_PER_HOUR)
+
+
+def _q_heavy_hitters_event_type(sf_dir: str):
+    from rayhll.pipelines import windows
+
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    return windows.heavy_hitters(ds, "event_type", k=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "hll_distinct_text": _q_distinct_text,
@@ -464,6 +504,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": _q_fingerprint_documents,
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
         "multimodal_features": _q_multimodal_features,
+        "window_tumbling_distinct_users": _q_window_tumbling_distinct_users,
+        "window_sliding_distinct_users": _q_window_sliding_distinct_users,
+        "session_windows_events": _q_session_windows_events,
+        "heavy_hitters_event_type": _q_heavy_hitters_event_type,
     }
 
 
@@ -514,6 +558,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id FROM (SELECT vec_id, list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS sim "
             "FROM embeddings) ORDER BY sim DESC LIMIT 10"
+        ),
+        "window_tumbling_distinct_users": (
+            "SELECT date_trunc('hour', ts) AS window_start, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users "
+            "FROM events GROUP BY 1"
+        ),
+        "window_sliding_distinct_users": (
+            "SELECT window_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users "
+            "FROM (SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start, "
+            "user_id FROM events, (VALUES (0), (1), (2)) t(k)) GROUP BY 1"
+        ),
+        "session_windows_events": (
+            "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events FROM ("
+            "SELECT user_id, ts, SUM(new_sess) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS sid FROM ("
+            "SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) > INTERVAL 1 HOUR THEN 1 ELSE 0 END "
+            "AS new_sess FROM events)) GROUP BY user_id, sid"
+        ),
+        "heavy_hitters_event_type": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_count FROM events "
+            "GROUP BY event_type ORDER BY est_count DESC, event_type LIMIT 3"
         ),
         "flagship_code_global": (
             "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS est_distinct_content, "

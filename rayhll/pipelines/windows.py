@@ -1,0 +1,178 @@
+"""Windowed aggregates over event streams.
+
+Ray Data has no event-time window operator; these express windows the
+Ray-Data-native way (ray guide "Streaming-shaped workloads"): assign each
+event to its window(s) in a vectorized ``map_batches`` stage, then run the
+bucketed grouped sketch aggregation with the window start as (part of) the
+group key.  Because HLL register-max is order- and duplicate-insensitive,
+late or re-delivered events are harmless and no watermark is needed — the
+window close is simply whenever the aggregation runs.
+
+* tumbling windows: one (window_start) key per event;
+* sliding windows: each event explodes into ``size/step`` overlapping
+  windows (the standard explode encoding; fan-out factor is the window
+  overlap count, applied before the sketch pre-aggregation so the shuffle
+  still only carries sketch rows);
+* session windows: per-key gap-based sessionization inside
+  ``groupby(key).map_groups`` over ts-sorted events.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rayhll import ray_agg
+from rayhll.core.settings import HllSettings
+
+US_PER_HOUR = 3_600_000_000
+
+
+def _window_start_us(ts: pa.ChunkedArray | pa.Array, size_us: int, offset_us: int = 0) -> np.ndarray:
+    us = ts.cast(pa.int64()).to_numpy() if isinstance(ts, pa.Array) else ts.combine_chunks().cast(pa.int64()).to_numpy()
+    return ((us - offset_us) // size_us) * size_us + offset_us
+
+
+def tumbling_window_distinct(
+    ds,
+    ts_col: str,
+    key_cols: list[str],
+    size_us: int = US_PER_HOUR,
+    settings: HllSettings | None = None,
+):
+    """Distinct ``key_cols`` per tumbling window.
+
+    Returns a Dataset ``(window_start: timestamp[us], estimate: int64,
+    rows_in)``."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ws = _window_start_us(batch.column(ts_col), size_us)
+        return batch.append_column(
+            "window_start", pa.array(ws, type=pa.int64()).cast(pa.timestamp("us"))
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return ray_agg.grouped_approx_distinct(
+        assigned, ["window_start"], key_cols, settings=settings
+    )
+
+
+def sliding_window_distinct(
+    ds,
+    ts_col: str,
+    key_cols: list[str],
+    size_us: int = 3 * US_PER_HOUR,
+    step_us: int = US_PER_HOUR,
+    settings: HllSettings | None = None,
+):
+    """Distinct ``key_cols`` per sliding window (``size``, advancing by
+    ``step``).  An event at time t belongs to windows starting at
+    ``floor((t - k*step)/step)*step`` for k in [0, size/step)."""
+    if size_us % step_us:
+        raise ValueError("size_us must be a multiple of step_us")
+    fanout = size_us // step_us
+
+    def assign(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        parts = []
+        for k in range(fanout):
+            base = _window_start_us(batch.column(ts_col), step_us) - k * step_us
+            parts.append(
+                batch.append_column(
+                    "window_start",
+                    pa.array(base, type=pa.int64()).cast(pa.timestamp("us")),
+                )
+            )
+        return pa.concat_tables(parts)
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return ray_agg.grouped_approx_distinct(
+        assigned, ["window_start"], key_cols, settings=settings
+    )
+
+
+def session_windows(
+    ds,
+    ts_col: str,
+    key_col: str,
+    gap_us: int = US_PER_HOUR,
+):
+    """Gap-based session windows per key: events of one key sorted by ts are
+    split where the inter-event gap exceeds ``gap_us``.
+
+    Returns a Dataset ``(key, session_start, session_end, n_events)``.
+    Partitioning assumption: one key's events fit in one group (true for
+    per-user event streams; a key whose history exceeds worker memory needs
+    time-bucketed pre-splitting first)."""
+
+    def sessions(group: pa.Table) -> pa.Table:
+        us = group.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy()
+        order = np.argsort(us, kind="stable")
+        us = us[order]
+        breaks = np.flatnonzero(np.diff(us) > gap_us) + 1
+        starts = np.concatenate(([0], breaks))
+        ends = np.concatenate((breaks, [len(us)]))
+        key = group.column(key_col)[0].as_py()
+        return pa.table(
+            {
+                key_col: pa.array([key] * len(starts), type=group.schema.field(key_col).type),
+                "session_start": pa.array(us[starts], type=pa.int64()).cast(pa.timestamp("us")),
+                "session_end": pa.array(us[ends - 1], type=pa.int64()).cast(pa.timestamp("us")),
+                "n_events": pa.array((ends - starts).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(sessions, batch_format="pyarrow")
+
+
+def heavy_hitters(
+    ds,
+    col: str,
+    k: int = 10,
+    depth: int = 5,
+    width: int = 1 << 14,
+):
+    """Top-k frequent values via count-min + per-batch candidate tracking.
+
+    Each batch contributes its local top candidates (exact within batch);
+    the global count-min estimates each candidate's total count.  With
+    width >> #distinct this is exact; with adversarial width it
+    overestimates per count-min's guarantee.  Returns an Arrow table
+    ``(value, est_count)`` sorted by est_count desc, value asc (k rows)."""
+    import polars as pl
+
+    from rayhll.functions.hashing import hash64_table
+    from rayhll.sketches.countmin import CountMinSketch
+
+    def build(batch: pa.Table) -> bytes:
+        cm = CountMinSketch(depth, width)
+        cm.add_batch(hash64_table(batch, [col], seed=9))
+        return cm.to_bytes()
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([col]))
+        top = (
+            df.group_by(col)
+            .agg(pl.len().alias("c"))
+            .sort(["c", col], descending=[True, False])
+            .head(4 * k)
+        )
+        return top.select([col]).to_arrow()
+
+    cm = ray_agg.aggregate_family(ds, build, CountMinSketch)
+    cand = (
+        ds.map_batches(candidates, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()[col]
+        .drop_duplicates()
+        .tolist()
+    )
+    probe = pa.table({col: cand})
+    ests = cm.estimate_batch(hash64_table(probe, [col], seed=9))
+    order = np.lexsort((np.asarray(cand, dtype=object), -ests))[:k]
+    return pa.table(
+        {
+            col: pa.array([cand[i] for i in order]),
+            "est_count": pa.array(ests[order], type=pa.int64()),
+        }
+    )

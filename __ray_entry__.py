@@ -471,6 +471,31 @@ def _q_session_windows_events(sf_dir: str):
     return windows.session_windows(ds, "ts", "user_id", gap_us=windows.US_PER_HOUR)
 
 
+def _q_tdigest_price_by_returnflag(sf_dir: str):
+    """Per-group t-digest quantiles (rows-only; 0.1%-level median error is
+    asserted vs quantile_cont in pytest)."""
+    from rayhll import ray_agg
+    from rayhll.sketches.tdigest import TDigest
+
+    def build(sub):
+        td = TDigest(200)
+        td.add_batch(sub.column("l_extendedprice").to_numpy())
+        return td.to_bytes()
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return ray_agg.grouped_aggregate_family(
+        ds,
+        ["l_returnflag"],
+        build,
+        TDigest,
+        finalize=lambda td: {
+            "p50": td.quantile(0.5),
+            "p99": td.quantile(0.99),
+            "n": int(td.total_weight),
+        },
+    )
+
+
 def _q_heavy_hitters_event_type(sf_dir: str):
     from rayhll.pipelines import windows
 
@@ -508,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sliding_distinct_users": _q_window_sliding_distinct_users,
         "session_windows_events": _q_session_windows_events,
         "heavy_hitters_event_type": _q_heavy_hitters_event_type,
+        "tdigest_price_by_returnflag": _q_tdigest_price_by_returnflag,
     }
 
 

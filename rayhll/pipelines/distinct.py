@@ -43,12 +43,17 @@ class HashStage:
     """Append ``content_sha256`` (hex) + ``content_raw64`` (int64) columns."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
         texts = batch.column("content").to_pylist()
-        hexes = hashing.sha256_hex(texts)
-        raw = np.array(
-            [int(h[:16], 16) - (1 << 64 if int(h[:1], 16) >= 8 else 0) for h in hexes],
-            dtype=np.int64,
-        )
+        digests = [
+            hashlib.sha256(
+                t.encode("utf-8", "surrogatepass") if t is not None else b""
+            ).digest()
+            for t in texts
+        ]
+        hexes = [d.hex() for d in digests]
+        raw = np.frombuffer(b"".join(d[:8] for d in digests), dtype=">i8").astype(np.int64)
         batch = batch.append_column("content_sha256", pa.array(hexes, type=pa.string()))
         return batch.append_column("content_raw64", pa.array(raw, type=pa.int64()))
 

@@ -191,6 +191,72 @@ def aggregate_family(ds: "ray.data.Dataset", build_partial, family_cls, leaf_bat
     return family_cls.from_bytes(final.take(1)[0]["blob"])
 
 
+def grouped_aggregate_family(
+    ds: "ray.data.Dataset",
+    group_cols: list[str],
+    build_partial,
+    family_cls,
+    finalize=None,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Grouped aggregation for any sketch family: ``build_partial(sub_batch)
+    -> bytes`` per (batch, group), hash-bucketed shuffle of blob rows, merge
+    per group, optional ``finalize(sketch) -> dict[str, value]`` columns.
+
+    Same skew story as the HLL path: the shuffle carries one family blob per
+    (block, group), never input rows."""
+    import numpy as np
+
+    from rayhll.functions.hashing import hash64_table
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ghash = hash64_table(batch, group_cols, seed=0xFA71)
+        uniq, first_idx, inv = np.unique(ghash, return_index=True, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        bounds = np.searchsorted(inv[order], np.arange(len(uniq)))
+        blobs = []
+        sorted_batch = batch.take(pa.array(order))
+        for g in range(len(uniq)):
+            lo = bounds[g]
+            hi = bounds[g + 1] if g + 1 < len(uniq) else len(batch)
+            blobs.append(build_partial(sorted_batch.slice(lo, hi - lo)))
+        out = batch.select(group_cols).take(pa.array(first_idx))
+        out = out.append_column("blob", pa.array(blobs, type=pa.binary()))
+        out = out.append_column(GHASH_COL, pa.array(uniq, type=pa.int64()))
+        bucket = (uniq.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return out.append_column(BUCKET_COL, pa.array(bucket, type=pa.int64()))
+
+    def merge_bucket(tbl: pa.Table) -> pa.Table:
+        codes = tbl.column(GHASH_COL).to_numpy()
+        uniq, inv = np.unique(codes, return_inverse=True)
+        first_idx = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first_idx, inv, np.arange(len(codes), dtype=np.int64))
+        merged: list = [None] * len(uniq)
+        for i, blob in enumerate(tbl.column("blob")):
+            g = int(inv[i])
+            sk = family_cls.from_bytes(blob.as_py())
+            if merged[g] is None:
+                merged[g] = sk
+            else:
+                merged[g].merge(sk)
+        out = tbl.select(group_cols).take(pa.array(first_idx))
+        if finalize is None:
+            out = out.append_column(
+                "blob", pa.array([m.to_bytes() for m in merged], type=pa.binary())
+            )
+        else:
+            cols: dict[str, list] = {}
+            for m in merged:
+                for k, v in finalize(m).items():
+                    cols.setdefault(k, []).append(v)
+            for k, vals in cols.items():
+                out = out.append_column(k, pa.array(vals))
+        return out
+
+    p = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby(BUCKET_COL).map_groups(merge_bucket, batch_format="pyarrow")
+
+
 class HllDistinct(AggregateFn):
     """``ray.data`` AggregateFn: approximate COUNT(DISTINCT on).
 

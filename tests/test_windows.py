@@ -93,3 +93,38 @@ def test_heavy_hitters(ray_session):
     ).df()
     assert got["event_type"] == want["event_type"].tolist()
     assert got["est_count"] == want["c"].tolist()
+
+
+def test_grouped_tdigest_quantiles(ray_session):
+    import ray.data as rd
+
+    from rayhll import ray_agg
+    from rayhll.sketches.tdigest import TDigest
+
+    li = f"{SF}/lineitem.parquet"
+
+    def build(sub):
+        td = TDigest(200)
+        td.add_batch(sub.column("l_extendedprice").to_numpy())
+        return td.to_bytes()
+
+    ds = rd.read_parquet(li, columns=["l_returnflag", "l_extendedprice"])
+    got = (
+        ray_agg.grouped_aggregate_family(
+            ds,
+            ["l_returnflag"],
+            build,
+            TDigest,
+            finalize=lambda td: {"p50": td.quantile(0.5), "n": int(td.total_weight)},
+        )
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) p50, COUNT(*) n "
+        f"FROM read_parquet('{li}') GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert got["n"].tolist() == want["n"].tolist()
+    rel = (got["p50"] - want["p50"]).abs() / want["p50"]
+    assert rel.max() < 0.02

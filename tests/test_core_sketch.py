@@ -327,3 +327,46 @@ def test_settings_validation():
     s = HllSettings(11, 5)
     assert s.explicit_threshold == ((5 * 2048 + 7) // 8) // 8
     assert s.sparse_threshold == 512
+
+
+# ----------------------------------------------------------------------
+# dict-backed SPARSE fallback (m > 2^24)
+
+
+def test_dict_sparse_path_large_log2m():
+    """log2m=25 -> m=2^25 exceeds the dense-sparse limit; the dict path must
+    agree with the dense path semantics and serde."""
+    rng = np.random.default_rng(13)
+    values = rng.integers(-(2**63), 2**63 - 1, size=500, dtype=np.int64)
+    h = HllSketch(HllSettings(25, 5, expthresh=0))
+    h.add_batch(values)
+    assert h.get_type() == HllType.SPARSE
+    assert h._sparse is not None  # dict backing
+    data = h.to_bytes()
+    back = HllSketch.from_bytes(data)
+    assert back.to_bytes() == data
+    assert back.cardinality() == h.cardinality()
+    # batch == sequential on the dict path too
+    seq = HllSketch(HllSettings(25, 5, expthresh=0))
+    for v in values.tolist():
+        seq.add_raw(v)
+    assert seq.to_bytes() == data
+
+
+def test_dict_sparse_union_paths():
+    s = HllSettings(25, 5, expthresh=4)
+    rng = np.random.default_rng(14)
+    va = rng.integers(-(2**63), 2**63 - 1, size=300, dtype=np.int64)
+    vb = rng.integers(-(2**63), 2**63 - 1, size=300, dtype=np.int64)
+    a = HllSketch(s)
+    a.add_batch(va)
+    b = HllSketch(s)
+    b.add_batch(vb)
+    both = HllSketch(s)
+    both.add_batch(np.concatenate([va, vb]))
+    a.union(HllSketch.from_bytes(b.to_bytes()))
+    assert a.to_bytes() == both.to_bytes()
+    # EMPTY ∪ dict-SPARSE clone
+    e = HllSketch(s)
+    e.union(both)
+    assert e.to_bytes() == both.to_bytes()

@@ -302,3 +302,47 @@ def test_bloom_prefilter_semijoin(ray_session):
         f"WHERE l_partkey IN (SELECT p_partkey FROM read_parquet('{part_path}') WHERE p_size > 40)"
     ).fetchone()[0]
     assert got == want
+
+
+def test_actor_pool_build_paths(ray_session, docs_path):
+    """concurrency=N routes through the actor-pool map_batches form
+    (fn_constructor_kwargs); results must equal the task form."""
+    import ray.data as rd
+
+    from rayhll import ray_agg
+    from rayhll.pipelines import distinct
+    from rayhll.sources.synth import code_table_from_documents
+
+    ds = rd.read_parquet(docs_path, columns=["lang", "text"])
+    tasks = (
+        ray_agg.grouped_approx_distinct(ds, ["lang"], ["text"], settings=ray_agg.EXACT_MODE)
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    actors = (
+        ray_agg.grouped_approx_distinct(
+            ds, ["lang"], ["text"], settings=ray_agg.EXACT_MODE, concurrency=2
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    assert tasks.equals(actors)
+
+    code = rd.read_parquet(docs_path).map_batches(
+        code_table_from_documents, batch_format="pyarrow"
+    )
+    flag = (
+        distinct.flagship_grouped(code, concurrency=2)
+        .to_pandas()
+        .sort_values(["repo", "lang"])
+        .reset_index(drop=True)
+    )
+    flag_tasks = (
+        distinct.flagship_grouped(code)
+        .to_pandas()
+        .sort_values(["repo", "lang"])
+        .reset_index(drop=True)
+    )
+    assert flag.equals(flag_tasks)

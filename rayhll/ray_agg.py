@@ -109,13 +109,16 @@ def approx_distinct_sketch(
     hash_method: str = "fast",
     **kwargs,
 ) -> HllSketch:
-    """Global sketch over ``key_cols``; returns the merged HllSketch."""
+    """Global sketch over ``key_cols``; returns the merged HllSketch
+    (an EMPTY sketch for an empty dataset)."""
     partials = build_partials(
         ds, key_cols, settings=settings, hash_method=hash_method, **kwargs
     )
     merged = tree_merge(partials)
-    row = merged.take(1)[0]
-    return from_bytes(row[SKETCH_COL])
+    rows = merged.take(1)
+    if not rows or not rows[0][SKETCH_COL]:
+        return HllSketch(settings or HllSettings(11, 5))
+    return from_bytes(rows[0][SKETCH_COL])
 
 
 def approx_distinct(

@@ -346,3 +346,20 @@ def test_actor_pool_build_paths(ray_session, docs_path):
         .reset_index(drop=True)
     )
     assert flag.equals(flag_tasks)
+
+
+def test_empty_input_edge_cases(ray_session):
+    import ray.data as rd
+
+    from rayhll import ray_agg
+
+    empty = rd.from_arrow(pa.table({"text": pa.array([], type=pa.string())}))
+    assert ray_agg.approx_distinct(empty, ["text"]) == 0
+    sk = ray_agg.approx_distinct_sketch(empty, ["text"])
+    assert sk.cardinality() == 0
+    grouped_empty = rd.from_arrow(
+        pa.table(
+            {"g": pa.array([], type=pa.string()), "text": pa.array([], type=pa.string())}
+        )
+    )
+    assert ray_agg.grouped_approx_distinct(grouped_empty, ["g"], ["text"]).count() == 0

@@ -28,7 +28,7 @@ os.environ.setdefault("POLARS_MAX_THREADS", "1")  # no oversubscription under Ra
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SYNTH_ROWS = int(os.environ.get("RAYHLL_BENCH_SYNTH_ROWS", "2000000"))
+SYNTH_ROWS = int(os.environ.get("RAYHLL_BENCH_SYNTH_ROWS", "4000000"))
 
 
 def _sf_from_dir(d: str) -> float:

@@ -141,16 +141,6 @@ def merge_partials_block(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def merge_group(group: pa.Table) -> pa.Table:
-    accs, rows = _merge_rows(group)
-    out = group.select(list(GROUP_COLS)).slice(0, 1)
-    for c, a in zip(SKETCH_COLS, accs):
-        out = out.append_column(c, pa.array([a.to_bytes()], type=pa.binary()))
-    for c, a in zip(EST_COLS, accs):
-        out = out.append_column(c, pa.array([a.cardinality()], type=pa.int64()))
-    return out.append_column("rows_in", pa.array([rows], type=pa.int64()))
-
-
 def flagship_grouped(
     ds,
     settings: HllSettings | None = None,

@@ -37,7 +37,6 @@ from rayhll.stages.build import (
     BuildPartials,
     finalize_estimate,
     make_bucket_merger,
-    merge_group,
     merge_sketch_rows,
 )
 

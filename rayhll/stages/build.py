@@ -196,27 +196,6 @@ def make_local_premerge(group_cols: list[str], sketch_cols: list[str] = (SKETCH_
     return premerge
 
 
-def merge_group(group: pa.Table, group_cols: list[str]) -> pa.Table:
-    """map_groups body: merge one group's partial sketches, emit one row with
-    the group key, the merged sketch bytes, and the integer estimate."""
-    acc: HllSketch | None = None
-    for blob in group.column(SKETCH_COL):
-        sk = from_bytes(blob.as_py())
-        if acc is None:
-            acc = sk
-        else:
-            acc.union(sk)
-    out = group.select(group_cols).slice(0, 1)
-    out = out.append_column(SKETCH_COL, pa.array([acc.to_bytes()], type=pa.binary()))
-    out = out.append_column(
-        ESTIMATE_COL, pa.array([acc.cardinality()], type=pa.int64())
-    )
-    if ROWS_COL in group.column_names:
-        total = int(pa.compute.sum(group.column(ROWS_COL)).as_py() or 0)
-        out = out.append_column(ROWS_COL, pa.array([total], type=pa.int64()))
-    return out
-
-
 def finalize_estimate(batch: pa.Table) -> pa.Table:
     """Append the integer cardinality estimate to merged-sketch rows."""
     estimates = [from_bytes(b.as_py()).cardinality() for b in batch.column(SKETCH_COL)]

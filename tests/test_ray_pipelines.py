@@ -363,3 +363,28 @@ def test_empty_input_edge_cases(ray_session):
         )
     )
     assert ray_agg.grouped_approx_distinct(grouped_empty, ["g"], ["text"]).count() == 0
+
+
+def test_extreme_skew_grouped_distinct(ray_session):
+    """99% of rows in one group: estimates stay exact and the shuffle input
+    stays bounded by (blocks x groups), not by the hot group's rows."""
+    import ray.data as rd
+
+    from rayhll import ray_agg
+
+    n = 50_000
+    g = np.where(np.arange(n) % 100 == 0, "cold", "hot")
+    vals = (np.arange(n) % 7000).astype(np.int64)
+    t = pa.table({"g": pa.array(g.tolist()), "v": pa.array(vals)})
+    ds = rd.from_arrow(t).repartition(16)
+    got = (
+        ray_agg.grouped_approx_distinct(ds, ["g"], ["v"], settings=ray_agg.EXACT_MODE)
+        .to_pandas()
+        .set_index("g")["estimate"]
+        .to_dict()
+    )
+    import pandas as pd
+
+    df = pd.DataFrame({"g": g, "v": vals})
+    want = df.groupby("g")["v"].nunique().to_dict()
+    assert got == want

@@ -503,6 +503,16 @@ def _q_heavy_hitters_event_type(sf_dir: str):
     return windows.heavy_hitters(ds, "event_type", k=3)
 
 
+def _q_profile_lineitem_columns(sf_dir: str):
+    """All-columns distinct profile in one pass over lineitem."""
+    from rayhll import ray_agg
+    from rayhll.pipelines.profile import profile_distinct
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"]
+    ds = _read(sf_dir, "lineitem", columns=cols)
+    return profile_distinct(ds, cols, settings=ray_agg.EXACT_MODE)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "hll_distinct_text": _q_distinct_text,
@@ -534,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows_events": _q_session_windows_events,
         "heavy_hitters_event_type": _q_heavy_hitters_event_type,
         "tdigest_price_by_returnflag": _q_tdigest_price_by_returnflag,
+        "profile_lineitem_columns": _q_profile_lineitem_columns,
     }
 
 
@@ -607,6 +618,19 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_event_type": (
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_count FROM events "
             "GROUP BY event_type ORDER BY est_count DESC, event_type LIMIT 3"
+        ),
+        "profile_lineitem_columns": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS col_name, CAST(COUNT(DISTINCT {c}) AS BIGINT) AS "
+                f"distinct_est, CAST(COUNT(*) AS BIGINT) AS rows_in FROM lineitem"
+                for c in (
+                    "l_orderkey",
+                    "l_partkey",
+                    "l_suppkey",
+                    "l_returnflag",
+                    "l_linestatus",
+                )
+            )
         ),
         "flagship_code_global": (
             "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS est_distinct_content, "

@@ -147,9 +147,24 @@ def minhash_lsh_pairs(
     num_perm: int = 128,
     num_bands: int = 32,
     gram: int = 3,
+    carry_signatures: bool = True,
+    max_bucket_size: int = 1000,
 ):
     """Dataset of near-duplicate pairs ``(id_a, id_b, jaccard)`` with
-    ``id_a < id_b`` and signature-estimated Jaccard >= threshold."""
+    ``id_a < id_b`` and signature-estimated Jaccard >= threshold.
+
+    ``carry_signatures=True`` (default) ships each doc's signature inside its
+    band rows — simplest, but duplicates ~1 KiB × num_bands per doc through
+    the shuffle.  ``carry_signatures=False`` is the 100 TB shape: band rows
+    carry only (band_key, id), candidate pairs are generated unverified, and
+    the two signatures are joined back (hash-partitioned ``Dataset.join``)
+    for the Jaccard check — shuffle volume drops ~num_bands× on the wide leg.
+    Buckets larger than ``max_bucket_size`` are skipped in both variants
+    (degenerate content; quadratic pair blow-up)."""
+    if not carry_signatures:
+        return _minhash_lsh_pairs_join(
+            ds, text_col, id_col, threshold, num_perm, num_bands, gram, max_bucket_size
+        )
     stage = MinHashStage(text_col, id_col, num_perm, num_bands, gram)
     signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -189,7 +204,7 @@ def minhash_lsh_pairs(
         df = pl.from_arrow(tbl)
         a_ids, b_ids, jac = [], [], []
         for _, grp in df.group_by("band_key"):
-            if len(grp) < 2:
+            if len(grp) < 2 or len(grp) > max_bucket_size:
                 continue
             ids = grp[id_col].to_numpy()
             order = np.argsort(ids)
@@ -236,6 +251,157 @@ def minhash_lsh_pairs(
         .groupby("pbkt")
         .map_groups(dedup_pairs, batch_format="pyarrow")
     )
+
+
+def _bucket_join_sig(pairs, sigs, id_col: str, key_col: str, out_sig_col: str, num_buckets: int = 64):
+    """Attach ``sigs``' signature to each pair row matching on
+    ``pairs[key_col] == sigs[id_col]`` — a sort-shuffle bucketed equi-join:
+    pad both sides to one schema, tag, union, groupby a key bucket, join
+    within each bucket with polars.  Avoids ``Dataset.join``'s hash-shuffle
+    aggregator actors (which deadlock small-CPU sessions in this Ray
+    version)."""
+    pair_schema = pairs.schema()
+    pair_fields = list(zip(pair_schema.names, pair_schema.types))
+
+    def tag_pairs(tbl: pa.Table) -> pa.Table:
+        key = tbl.column(key_col).to_numpy()
+        out = tbl.append_column(out_sig_col, pa.nulls(len(tbl), type=pa.binary()))
+        out = out.append_column(
+            "_jb", pa.array((key % num_buckets).astype(np.int64), type=pa.int64())
+        )
+        return out.append_column("_is_sig", pa.array(np.zeros(len(tbl), dtype=bool)))
+
+    def tag_sigs(tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        cols = {}
+        for name, typ in pair_fields:
+            if name == key_col:
+                cols[name] = tbl.column(id_col).cast(typ)
+            else:
+                cols[name] = pa.nulls(n, type=typ)
+        cols[out_sig_col] = tbl.column("signature")
+        key = tbl.column(id_col).to_numpy()
+        cols["_jb"] = pa.array((key % num_buckets).astype(np.int64), type=pa.int64())
+        cols["_is_sig"] = pa.array(np.ones(n, dtype=bool))
+        return pa.table(cols)
+
+    left = pairs.map_batches(tag_pairs, batch_format="pyarrow")
+    right = sigs.map_batches(tag_sigs, batch_format="pyarrow")
+
+    def join_bucket(tbl: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tbl)
+        sig_rows = (
+            df.filter(pl.col("_is_sig"))
+            .select([key_col, out_sig_col])
+            .unique(subset=[key_col])
+        )
+        pair_rows = df.filter(~pl.col("_is_sig")).drop(["_jb", "_is_sig", out_sig_col])
+        return pair_rows.join(sig_rows, on=key_col, how="inner").to_arrow()
+
+    return left.union(right).groupby("_jb").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def _minhash_lsh_pairs_join(
+    ds, text_col, id_col, threshold, num_perm, num_bands, gram, max_bucket_size
+):
+    """Scale variant of minhash_lsh_pairs (see its docstring)."""
+    stage = MinHashStage(text_col, id_col, num_perm, num_bands, gram)
+    signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    sigs = signed.select_columns([id_col, "signature"]).materialize()
+
+    def explode_ids(batch: pa.Table) -> pa.Table:
+        keys, ids = [], []
+        for b in range(num_bands):
+            bh = batch.column(f"band_{b}").to_numpy()
+            keys.append(splitmix64(bh.view(np.uint64) ^ np.uint64(b + 1)).view(np.int64))
+            ids.append(batch.column(id_col))
+        band_key = np.concatenate(keys)
+        return pa.table(
+            {
+                "band_key": pa.array(band_key, type=pa.int64()),
+                "bkt": pa.array(
+                    (band_key.view(np.uint64) % np.uint64(64)).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                id_col: pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in ids]
+                ),
+            }
+        )
+
+    exploded = signed.map_batches(explode_ids, batch_format="pyarrow")
+
+    def candidate_pairs(tbl: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tbl)
+        a_ids, b_ids = [], []
+        for _, grp in df.group_by("band_key"):
+            if len(grp) < 2 or len(grp) > max_bucket_size:
+                continue
+            ids = np.unique(grp[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            iu = np.triu_indices(len(ids), k=1)
+            a_ids.append(ids[iu[0]])
+            b_ids.append(ids[iu[1]])
+        if not a_ids:
+            return pa.table(
+                {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(a_ids), type=pa.int64()),
+                "id_b": pa.array(np.concatenate(b_ids), type=pa.int64()),
+            }
+        )
+
+    def dedup_cand(tbl: pa.Table) -> pa.Table:
+        return pl.from_arrow(tbl).unique(subset=["id_a", "id_b"]).to_arrow()
+
+    cand = (
+        exploded.groupby("bkt")
+        .map_groups(candidate_pairs, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column(
+                "pbkt",
+                pa.array((t.column("id_a").to_numpy() % 64).astype(np.int64), type=pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("pbkt")
+        .map_groups(dedup_cand, batch_format="pyarrow")
+        .drop_columns(["pbkt"])
+    )
+
+    # join the two signatures back.  NOTE: ray's Dataset.join (hash-shuffle
+    # aggregator actors) deadlocks under small-CPU sessions in this Ray
+    # version, so this uses a self-contained bucketed tag-union join: union
+    # the (padded-schema) pair and signature rows, groupby a key bucket, and
+    # join within each bucket with polars.  Two passes, one per pair side.
+    joined = _bucket_join_sig(cand, sigs, id_col, "id_a", "sig_a")
+    joined = _bucket_join_sig(joined, sigs, id_col, "id_b", "sig_b")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        sa = np.stack([_sig_from_bytes(b.as_py()) for b in batch.column("sig_a")])
+        sb = np.stack([_sig_from_bytes(b.as_py()) for b in batch.column("sig_b")])
+        jac = (sa == sb).mean(axis=1)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").filter(pa.array(keep)),
+                "id_b": batch.column("id_b").filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep], type=pa.float64()),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------------

@@ -388,3 +388,20 @@ def test_extreme_skew_grouped_distinct(ray_session):
     df = pd.DataFrame({"g": g, "v": vals})
     want = df.groupby("g")["v"].nunique().to_dict()
     assert got == want
+
+
+def test_minhash_lsh_join_variant_matches(ray_session):
+    """The scale variant (signatures joined back) finds the same pairs as
+    the carry-signatures variant."""
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import minhash_lsh_pairs
+
+    ds = rd.from_arrow(_near_dup_docs())
+    a = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5).to_pandas()
+    b = minhash_lsh_pairs(
+        ds, "text", "doc_id", threshold=0.5, carry_signatures=False
+    ).to_pandas()
+    pa_set = {tuple(p) for p in a[["id_a", "id_b"]].itertuples(index=False)}
+    pb_set = {tuple(p) for p in b[["id_a", "id_b"]].itertuples(index=False)}
+    assert pa_set == pb_set and len(pa_set) > 0

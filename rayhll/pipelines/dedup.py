@@ -307,6 +307,10 @@ def _minhash_lsh_pairs_join(
     """Scale variant of minhash_lsh_pairs (see its docstring)."""
     stage = MinHashStage(text_col, id_col, num_perm, num_bands, gram)
     signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize() stops the signature pipeline recomputing for each of its
+    # consumers (bands + both join sides).  At 100 TB, write signatures to
+    # parquet instead and re-read (object-store pinning of ~1 KiB/doc state
+    # doesn't fit); the pipeline shape is otherwise identical.
     sigs = signed.select_columns([id_col, "signature"]).materialize()
 
     def explode_ids(batch: pa.Table) -> pa.Table:

@@ -503,6 +503,41 @@ def _q_heavy_hitters_event_type(sf_dir: str):
     return windows.heavy_hitters(ds, "event_type", k=3)
 
 
+def _q_users_overlap_click_purchase(sf_dir: str):
+    """Set-op estimators over two sketches: distinct users seen for 'click'
+    vs 'purchase' events, their union, intersection, and Jaccard.
+    EXACT_MODE keeps every sketch EXPLICIT, so inclusion-exclusion is exact
+    and the oracle is plain SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayhll import ray_agg
+    from rayhll.functions import setops
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def sketch_for(etype):
+        sub = ds.map_batches(
+            lambda t, e=etype: t.filter(pc.equal(t.column("event_type"), e)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return ray_agg.approx_distinct_sketch(sub, ["user_id"], settings=ray_agg.EXACT_MODE)
+
+    a = sketch_for("click")
+    b = sketch_for("purchase")
+    return pa.table(
+        {
+            "users_click": pa.array([a.cardinality()], type=pa.int64()),
+            "users_purchase": pa.array([b.cardinality()], type=pa.int64()),
+            "users_union": pa.array([setops.estimate_union(a, b)], type=pa.int64()),
+            "users_intersection": pa.array(
+                [setops.estimate_intersection(a, b)], type=pa.int64()
+            ),
+        }
+    )
+
+
 def _q_profile_lineitem_columns(sf_dir: str):
     """All-columns distinct profile in one pass over lineitem."""
     from rayhll import ray_agg
@@ -545,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_event_type": _q_heavy_hitters_event_type,
         "tdigest_price_by_returnflag": _q_tdigest_price_by_returnflag,
         "profile_lineitem_columns": _q_profile_lineitem_columns,
+        "users_overlap_click_purchase": _q_users_overlap_click_purchase,
     }
 
 
@@ -618,6 +654,13 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_event_type": (
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_count FROM events "
             "GROUP BY event_type ORDER BY est_count DESC, event_type LIMIT 3"
+        ),
+        "users_overlap_click_purchase": (
+            "SELECT CAST(a.c AS BIGINT) AS users_click, CAST(b.c AS BIGINT) AS users_purchase, "
+            "CAST(u.c AS BIGINT) AS users_union, CAST(a.c + b.c - u.c AS BIGINT) AS users_intersection "
+            "FROM (SELECT COUNT(DISTINCT user_id) c FROM events WHERE event_type = 'click') a, "
+            "(SELECT COUNT(DISTINCT user_id) c FROM events WHERE event_type = 'purchase') b, "
+            "(SELECT COUNT(DISTINCT user_id) c FROM events WHERE event_type IN ('click','purchase')) u"
         ),
         "profile_lineitem_columns": (
             " UNION ALL ".join(

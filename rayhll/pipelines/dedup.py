@@ -157,7 +157,7 @@ def minhash_lsh_pairs(
     band rows — simplest, but duplicates ~1 KiB × num_bands per doc through
     the shuffle.  ``carry_signatures=False`` is the 100 TB shape: band rows
     carry only (band_key, id), candidate pairs are generated unverified, and
-    the two signatures are joined back (hash-partitioned ``Dataset.join``)
+    the two signatures are joined back (bucketed tagged-union equi-join)
     for the Jaccard check — shuffle volume drops ~num_bands× on the wide leg.
     Buckets larger than ``max_bucket_size`` are skipped in both variants
     (degenerate content; quadratic pair blow-up)."""

@@ -60,6 +60,19 @@ class SketchShardActor:
         self.rows_seen += len(raws)
         return len(raws)
 
+    def seed(self, ghash: int, key, blob: bytes) -> None:
+        """Union a serialized sketch (e.g. from a batch job's output) into
+        this shard's state for ``key``."""
+        self.key_names = getattr(self, "key_names", {})
+        self.key_names[ghash] = key
+        old = self.state.get(ghash)
+        if old is None:
+            self.state[ghash] = blob
+        else:
+            acc = from_bytes(old)
+            acc.union(from_bytes(blob))
+            self.state[ghash] = acc.to_bytes()
+
     def cardinality(self, ghash: int) -> int:
         blob = self.state.get(ghash)
         return 0 if blob is None else from_bytes(blob).cardinality()
@@ -113,6 +126,13 @@ class LiveSketchService:
         ghash = hashing.hash64_table(pa.table({"k": [key]}), ["k"], seed=0x11FE)
         shard = int(self._shard_of(ghash)[0])
         return ray.get(self.actors[shard].cardinality.remote(int(ghash[0])))
+
+    def seed(self, key, blob: bytes) -> None:
+        """Union a batch job's serialized sketch into the live state for
+        ``key`` (batch -> live handoff; bytes are the shared contract)."""
+        ghash = hashing.hash64_table(pa.table({"k": [key]}), ["k"], seed=0x11FE)
+        shard = int(self._shard_of(ghash)[0])
+        ray.get(self.actors[shard].seed.remote(int(ghash[0]), key, blob))
 
     def snapshot(self) -> pa.Table:
         tables = ray.get([a.snapshot.remote() for a in self.actors])

@@ -370,3 +370,23 @@ def test_dict_sparse_union_paths():
     e = HllSketch(s)
     e.union(both)
     assert e.to_bytes() == both.to_bytes()
+
+
+# ----------------------------------------------------------------------
+# serde error paths
+
+
+def test_from_bytes_error_paths():
+    with pytest.raises(ValueError, match="too short"):
+        HllSketch.from_bytes(b"\x14")
+    with pytest.raises(ValueError, match="schema version"):
+        HllSketch.from_bytes(b"\x24\x8b\x49")
+    with pytest.raises(ValueError, match="type ordinal"):
+        HllSketch.from_bytes(b"\x17\x8b\x49")
+    with pytest.raises(ValueError, match="UNDEFINED"):
+        HllSketch.from_bytes(b"\x10\x8b\x49")
+    # FULL body with fewer than m words
+    h = HllSketch.for_testing(11, 5, 128, 512, HllType.FULL)
+    data = h.to_bytes()
+    with pytest.raises(ValueError, match="words"):
+        HllSketch.from_bytes(data[: len(data) // 2])

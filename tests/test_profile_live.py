@@ -67,3 +67,38 @@ def test_live_sketch_service(ray_session):
         assert sum(s["keys"] for s in svc.stats()) == len(want)
     finally:
         svc.shutdown()
+
+
+def test_live_service_seeded_from_batch_job(ray_session):
+    """Batch grouped sketches seed the live service via seed(); live updates
+    continue from them — the batch -> live byte-contract handoff."""
+    import ray.data as rd
+
+    from rayhll import ray_agg
+    from rayhll.state.live import LiveSketchService
+
+    ev = f"{SF}/events.parquet"
+    full = rd.read_parquet(ev, columns=["event_type", "user_id"]).to_pandas()
+    half = len(full) // 2
+    batch_part, live_part = full.iloc[:half], full.iloc[half:]
+
+    ds = rd.from_arrow(pa.Table.from_pandas(batch_part, preserve_index=False))
+    batch_out = ray_agg.grouped_approx_distinct(
+        ds, ["event_type"], ["user_id"], settings=ray_agg.EXACT_MODE, include_sketch=True
+    ).to_pandas()
+
+    svc = LiveSketchService(num_shards=2, settings=ray_agg.EXACT_MODE)
+    try:
+        for _, row in batch_out.iterrows():
+            svc.seed(row["event_type"], bytes(row["sketch"]))
+        for i in range(0, len(live_part), 500):
+            svc.update_batch(
+                pa.Table.from_pandas(live_part.iloc[i : i + 500], preserve_index=False),
+                "event_type",
+                ["user_id"],
+            )
+        want = full.groupby("event_type")["user_id"].nunique().to_dict()
+        for k, v in want.items():
+            assert svc.cardinality(k) == v, k
+    finally:
+        svc.shutdown()

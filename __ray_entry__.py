@@ -538,6 +538,43 @@ def _q_users_overlap_click_purchase(sf_dir: str):
     )
 
 
+def _q_theta_users_overlap(sf_dir: str):
+    """Same overlap semantics via the Theta/KMV sketch family, whose sample-
+    wise set operations avoid HLL's compound inclusion-exclusion error.
+    k exceeds the distinct-user count at driver scales, so estimates are
+    exact and the SQL oracle applies."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayhll import ray_agg
+    from rayhll.functions.hashing import hash64_table
+    from rayhll.sketches.theta import ThetaSketch
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def sketch_for(etype):
+        def build(batch: pa.Table) -> bytes:
+            sub = batch.filter(pc.equal(batch.column("event_type"), etype))
+            sk = ThetaSketch(k=1 << 17)
+            sk.add_batch(hash64_table(sub, ["user_id"]))
+            return sk.to_bytes()
+
+        return ray_agg.aggregate_family(ds, build, ThetaSketch)
+
+    a = sketch_for("click")
+    b = sketch_for("purchase")
+    return pa.table(
+        {
+            "users_click": pa.array([a.cardinality()], type=pa.int64()),
+            "users_purchase": pa.array([b.cardinality()], type=pa.int64()),
+            "users_union": pa.array([int(round(a.union_estimate(b)))], type=pa.int64()),
+            "users_intersection": pa.array(
+                [int(round(a.intersect_estimate(b)))], type=pa.int64()
+            ),
+        }
+    )
+
+
 def _q_profile_lineitem_columns(sf_dir: str):
     """All-columns distinct profile in one pass over lineitem."""
     from rayhll import ray_agg
@@ -581,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_price_by_returnflag": _q_tdigest_price_by_returnflag,
         "profile_lineitem_columns": _q_profile_lineitem_columns,
         "users_overlap_click_purchase": _q_users_overlap_click_purchase,
+        "theta_users_overlap": _q_theta_users_overlap,
     }
 
 
@@ -654,6 +692,13 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_event_type": (
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_count FROM events "
             "GROUP BY event_type ORDER BY est_count DESC, event_type LIMIT 3"
+        ),
+        "theta_users_overlap": (
+            "SELECT CAST(a.c AS BIGINT) AS users_click, CAST(b.c AS BIGINT) AS users_purchase, "
+            "CAST(u.c AS BIGINT) AS users_union, CAST(a.c + b.c - u.c AS BIGINT) AS users_intersection "
+            "FROM (SELECT COUNT(DISTINCT user_id) c FROM events WHERE event_type = 'click') a, "
+            "(SELECT COUNT(DISTINCT user_id) c FROM events WHERE event_type = 'purchase') b, "
+            "(SELECT COUNT(DISTINCT user_id) c FROM events WHERE event_type IN ('click','purchase')) u"
         ),
         "users_overlap_click_purchase": (
             "SELECT CAST(a.c AS BIGINT) AS users_click, CAST(b.c AS BIGINT) AS users_purchase, "

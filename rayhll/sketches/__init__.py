@@ -8,5 +8,6 @@ from rayhll.sketches.countmin import CountMinSketch
 from rayhll.sketches.kll import KLLSketch
 from rayhll.sketches.minhash import MinHash
 from rayhll.sketches.tdigest import TDigest
+from rayhll.sketches.theta import ThetaSketch
 
-__all__ = ["Sketch", "BloomFilter", "CountMinSketch", "KLLSketch", "MinHash", "TDigest"]
+__all__ = ["Sketch", "BloomFilter", "CountMinSketch", "KLLSketch", "MinHash", "TDigest", "ThetaSketch"]

@@ -192,3 +192,59 @@ def test_ragged_signatures_match_per_set():
     # identical sets -> identical band hashes
     sigs2 = signatures_for_offsets(flat, np.asarray(offsets), num_perm=64)
     assert np.array_equal(band_hashes(sigs2, 16), bands)
+
+
+# ----------------------------------------------------------------------
+# Theta (KMV)
+
+
+def test_theta_exact_below_capacity_and_estimate_above():
+    from rayhll.sketches.theta import ThetaSketch
+
+    rng = np.random.default_rng(10)
+    small = rng.integers(-(2**63), 2**63 - 1, size=1000, dtype=np.int64)
+    t = ThetaSketch(k=4096)
+    t.add_batch(small)
+    assert t.cardinality() == len(np.unique(small))  # exact below k
+
+    big = rng.integers(-(2**63), 2**63 - 1, size=300_000, dtype=np.int64)
+    t2 = ThetaSketch(k=4096)
+    for chunk in np.array_split(big, 7):
+        t2.add_batch(chunk)
+    exact = len(np.unique(big))
+    assert abs(t2.cardinality() - exact) / exact < 0.05
+
+
+def test_theta_merge_and_roundtrip():
+    from rayhll.sketches.theta import ThetaSketch
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(-(2**63), 2**63 - 1, size=100_000, dtype=np.int64)
+    whole = ThetaSketch(1024)
+    whole.add_batch(vals)
+    a, b = ThetaSketch(1024), ThetaSketch(1024)
+    a.add_batch(vals[:60_000])
+    b.add_batch(vals[60_000:])
+    a.merge(ThetaSketch.from_bytes(b.to_bytes()))
+    assert np.array_equal(a.values, whole.values)  # deterministic KMV state
+
+
+def test_theta_set_operations_beat_inclusion_exclusion_shape():
+    from rayhll.sketches.theta import ThetaSketch
+
+    rng = np.random.default_rng(12)
+    pool = rng.integers(-(2**63), 2**63 - 1, size=300_000, dtype=np.int64)
+    A = pool[:200_000]
+    B = pool[100_000:]  # |A ∩ B| = 100_000, |A ∪ B| = 300_000 (minus dup noise)
+    a, b = ThetaSketch(8192), ThetaSketch(8192)
+    a.add_batch(A)
+    b.add_batch(B)
+    exact_a = len(np.unique(A))
+    exact_b = len(np.unique(B))
+    exact_u = len(np.unique(pool))
+    exact_i = exact_a + exact_b - exact_u
+    assert abs(a.intersect_estimate(b) - exact_i) / exact_i < 0.08
+    assert abs(a.union_estimate(b) - exact_u) / exact_u < 0.05
+    assert abs(a.difference_estimate(b) - (exact_a - exact_i)) / (exact_a - exact_i) < 0.08
+    true_j = exact_i / exact_u
+    assert abs(a.jaccard_estimate(b) - true_j) < 0.05

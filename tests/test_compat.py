@@ -109,3 +109,44 @@ def test_hllutil_surface_matches_reference_values(reference):
     for log2m, rw in ((11, 5), (14, 6), (4, 1)):
         assert HLLUtil.large_estimator_cutoff(log2m, rw) == RefUtil.large_estimator_cutoff(log2m, rw)
     assert HLLUtil.register_bit_size(10**6) == RefUtil.register_bit_size(10**6)
+
+
+@pytest.mark.parametrize(
+    "log2m,regwidth,expthresh,sparseon",
+    [
+        (4, 1, -1, True),
+        (4, 8, -1, True),
+        (5, 2, 0, True),
+        (7, 3, 4, False),
+        (10, 4, 1, True),
+        (11, 5, 18, True),
+        (12, 6, -1, False),
+        (13, 7, 10, True),
+        (16, 8, 0, False),
+        (14, 1, -1, True),
+    ],
+)
+def test_differential_parameter_sweep(reference, log2m, regwidth, expthresh, sparseon):
+    """Random adds + a union at unusual parameter corners: byte-identical to
+    the reference at every checkpoint."""
+    RefHLL, _ = reference
+    rng = random.Random(log2m * 100 + regwidth)
+    ours = HLL(log2m, regwidth, expthresh, sparseon)
+    ref = RefHLL(log2m, regwidth, expthresh, sparseon)
+    for i in range(400):
+        v = rng.randint(-(2**63), 2**63 - 1)
+        ours.add_raw(v)
+        ref.add_raw(v)
+        if i in (0, 7, 63, 200, 399):
+            assert ours.to_bytes() == ref.to_bytes(), (i, ours.get_type())
+            assert ours.cardinality() == ref.cardinality(), i
+    o2 = HLL(log2m, regwidth, expthresh, sparseon)
+    r2 = RefHLL(log2m, regwidth, expthresh, sparseon)
+    for _ in range(50):
+        v = rng.randint(-(2**63), 2**63 - 1)
+        o2.add_raw(v)
+        r2.add_raw(v)
+    ours.union(o2)
+    ref.union(r2)
+    assert ours.to_bytes() == ref.to_bytes()
+    assert ours.cardinality() == ref.cardinality()

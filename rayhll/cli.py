@@ -84,6 +84,22 @@ def cmd_distinct(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    import ray.data as rd
+
+    from rayhll import ray_agg
+    from rayhll.pipelines.profile import profile_distinct
+
+    _ensure_ray(args.num_cpus)
+    ds = rd.read_parquet(sorted(glob.glob(args.input)))
+    cols = args.columns.split(",") if args.columns else None
+    settings = ray_agg.EXACT_MODE if args.exact else None
+    out = profile_distinct(ds, cols, settings=settings)
+    for row in out.take_all():
+        print(json.dumps(row, default=str))
+    return 0
+
+
 def cmd_conformance(args) -> int:
     import subprocess
 
@@ -117,6 +133,13 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--expthresh", type=int, default=-1)
     d.add_argument("--num-cpus", type=int, default=None)
     d.set_defaults(fn=cmd_distinct)
+
+    pr = sub.add_parser("profile", help="per-column distinct profile")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--columns", default=None, help="comma-separated; default all")
+    pr.add_argument("--exact", action="store_true", help="EXPLICIT exact mode")
+    pr.add_argument("--num-cpus", type=int, default=None)
+    pr.set_defaults(fn=cmd_profile)
 
     c = sub.add_parser("conformance", help="replay the golden corpus")
     c.add_argument("--fail-fast", action="store_true")

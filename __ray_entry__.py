@@ -200,6 +200,7 @@ def _q_text_stats_documents(sf_dir: str):
 
 def _q_bloom_semijoin_lineitem_part(sf_dir: str):
     import pyarrow as pa
+    import pyarrow.compute as pc
     import ray
 
     from rayhll.functions.hashing import hash64_table
@@ -213,16 +214,16 @@ def _q_bloom_semijoin_lineitem_part(sf_dir: str):
     ).arrow()
     bf = BloomFilter.for_capacity(max(len(keys_tbl), 16), 0.001)
     bf.add_batch(hash64_table(keys_tbl, ["p_partkey"], seed=3))
-    exact_keys = set(keys_tbl.column("p_partkey").to_pylist())
+    # broadcast ONCE: bloom bytes for the cheap prefilter, the exact key
+    # array (Arrow, zero-copy) for the vectorized is_in exactness pass
     blob_ref = ray.put(bf.to_bytes())
-    keys_ref = ray.put(exact_keys)
+    keys_ref = ray.put(keys_tbl.column("p_partkey").combine_chunks())
 
     def prefilter(batch: pa.Table) -> pa.Table:
         f = BloomFilter.from_bytes(ray.get(blob_ref))
         h = hash64_table(batch, ["l_partkey"], seed=3)
         cand = batch.filter(pa.array(f.contains_batch(h)))
-        ks = ray.get(keys_ref)
-        keep = pa.array([k in ks for k in cand.column("l_partkey").to_pylist()])
+        keep = pc.is_in(cand.column("l_partkey"), value_set=ray.get(keys_ref))
         return cand.filter(keep)
 
     ds = _read(sf_dir, "lineitem", columns=["l_partkey"])
@@ -376,12 +377,13 @@ def _q_fingerprint_documents(sf_dir: str):
 
 
 def _q_embedding_near_dup_pairs(sf_dir: str):
-    """Hyperplane-LSH cosine near-duplicates over embeddings (rows-only).
+    """Hyperplane-LSH cosine near-duplicates over embeddings (ORACLE-GATED).
 
     The synthetic embeddings have no natural near-dups (max pairwise cosine
     ~0.51), so the query deterministically injects perturbed copies
-    (vec_id + 1_000_000, noise scale 0.02) and detects them — the found
-    pairs are exactly the injected ones."""
+    (vec_id + 1_000_000, per-row deterministic noise) and detects them — the
+    found pairs are exactly the injected ones, which IS SQL-expressible, so
+    the driver hash-gates the (id_a, id_b) set against the oracle."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
@@ -420,9 +422,12 @@ def _q_embedding_near_dup_pairs(sf_dir: str):
         return pa.concat_tables([batch, extra.cast(batch.schema)])
 
     augmented = ds.map_batches(with_perturbed, batch_format="pyarrow")
-    return embedding_near_dup_pairs(
+    pairs = embedding_near_dup_pairs(
         augmented, "embedding", "vec_id", dim=64, threshold=0.9, num_planes=6
     )
+    # cosine values depend on the injected noise (not SQL-computable); the
+    # oracle-gated surface is the pair set itself
+    return pairs.select_columns(["id_a", "id_b"])
 
 
 def _q_multimodal_features(sf_dir: str):
@@ -719,6 +724,11 @@ def oracle_sql() -> dict[str, str]:
                     "l_linestatus",
                 )
             )
+        ),
+        "embedding_near_dup_pairs": (
+            "SELECT CAST(vec_id AS BIGINT) AS id_a, "
+            "CAST(vec_id + 1000000 AS BIGINT) AS id_b "
+            "FROM embeddings WHERE vec_id < 50"
         ),
         "flagship_code_global": (
             "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS est_distinct_content, "

@@ -242,9 +242,12 @@ class HllSketch:
             # The replay loop itself never checks SPARSE→FULL
             # (python_hll/hll.py:251-261), so the over-threshold SPARSE only
             # promotes if at least one batch element was added *after* the
-            # element that triggered the EXPLICIT promotion.  Rare: requires
-            # sparse_threshold < explicit_threshold, impossible with auto
-            # parameters, so the python membership loop below is fine.
+            # element that triggered the EXPLICIT promotion.  This path needs
+            # sparse_threshold < explicit_threshold — NOT the case for auto
+            # parameters, but the normal case for EXACT_MODE (expthresh=18,
+            # log2m=11: explicit 131072 > sparse 512), i.e. every oracle-gated
+            # exact pipeline whose group crosses the explicit threshold lands
+            # here — so the crossing search below is vectorized (np.isin).
             crossing_pos = self._explicit_crossing_position(values, store, threshold)
             if crossing_pos < len(values) - 1:
                 self._sparse_to_full()
@@ -257,9 +260,8 @@ class HllSketch:
         to ``threshold + 1`` (the promotion trigger)."""
         uniq, first_idx = np.unique(values, return_index=True)
         if prior_set:
-            novel = np.fromiter(
-                (v not in prior_set for v in uniq.tolist()), dtype=bool, count=len(uniq)
-            )
+            prior = np.fromiter(prior_set, dtype=np.int64, count=len(prior_set))
+            novel = ~np.isin(uniq, prior)
             first_idx = first_idx[novel]
         k = threshold + 1 - len(prior_set)  # 1-based rank of the crossing value
         return int(np.sort(first_idx)[k - 1])

@@ -539,57 +539,188 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3):
 
 
 class HyperplaneStage:
-    """Random-hyperplane signature of normalized embeddings (vector SimHash):
-    ``num_planes`` seeded hyperplanes, signature bit = sign of projection.
-    The plane matrix is generated once per actor in ``__init__``."""
+    """Multi-table random-hyperplane signature of normalized embeddings
+    (vector SimHash): ``num_tables`` independent sets of ``num_planes``
+    seeded hyperplanes; per table, signature bit = sign of projection.
+    Repetition (tables) buys recall the same way MinHash bands do; planes
+    buy bucket granularity.  All plane matrices are generated once per actor
+    in ``__init__``; vector extraction is the zero-copy flatten-reshape
+    (no per-row Python objects)."""
 
-    def __init__(self, vec_col: str, id_col: str, dim: int, num_planes: int = 16, seed: int = 0):
+    def __init__(
+        self,
+        vec_col: str,
+        id_col: str,
+        dim: int,
+        num_planes: int = 16,
+        num_tables: int = 4,
+        seed: int = 0,
+    ):
+        from rayhll.pipelines.similarity import _vec_matrix
+
+        self._vec_matrix = _vec_matrix
         self.vec_col = vec_col
         self.id_col = id_col
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, num_planes))
+        # one (dim, num_planes) matrix per table, all from one seeded stream
+        self.planes = rng.standard_normal((num_tables, dim, num_planes))
         self.num_planes = num_planes
+        self.num_tables = num_tables
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = np.stack(batch.column(self.vec_col).to_pylist()).astype(np.float64)
+        mat = self._vec_matrix(batch, self.vec_col)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.maximum(norms, 1e-12)
-        proj = mat @ self.planes
-        bits = (proj > 0).astype(np.uint64)
-        sig = np.zeros(len(mat), dtype=np.uint64)
-        for p in range(self.num_planes):
-            sig |= bits[:, p] << np.uint64(p)
-        return pa.table(
-            {
-                self.id_col: batch.column(self.id_col),
-                "bucket_sig": pa.array(sig.view(np.int64), type=pa.int64()),
-                "norm_vec": pa.array(list(mat), type=pa.list_(pa.float64())),
-            }
+        n, d = mat.shape
+        # zero-copy list column: flat values + arithmetic offsets
+        norm_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32), type=pa.int32()),
+            pa.array(mat.ravel(), type=pa.float64()),
         )
+        out = {self.id_col: batch.column(self.id_col), "norm_vec": norm_col}
+        weights = np.uint64(1) << np.arange(self.num_planes, dtype=np.uint64)
+        for t in range(self.num_tables):
+            bits = (mat @ self.planes[t] > 0).astype(np.uint64)
+            sig = bits @ weights  # pack sign bits into one uint64 per row
+            # salt the table index in so different tables never share buckets
+            key = splitmix64(sig ^ (np.uint64(0xBEE) * np.uint64(t + 1)))
+            out[f"sig_{t}"] = pa.array(key.view(np.int64), type=pa.int64())
+        return pa.table(out)
+
+
+def _chunked_cosine_pairs(
+    ids: np.ndarray, mat: np.ndarray, threshold: float, block: int = 1024
+) -> tuple[list, list, list]:
+    """All (i < j) pairs with ``mat[i] @ mat[j] >= threshold``, computed in
+    ``block``-row strips so peak memory is O(block × n), never O(n²)."""
+    a_out, b_out, c_out = [], [], []
+    for i0 in range(0, len(ids), block):
+        sub = mat[i0 : i0 + block]
+        sims = sub @ mat.T  # (<=block, n)
+        ii, jj = np.nonzero(sims >= threshold)
+        keep = (ii + i0) < jj  # upper triangle only
+        if keep.any():
+            a_out.append(ids[ii[keep] + i0])
+            b_out.append(ids[jj[keep]])
+            c_out.append(sims[ii[keep], jj[keep]])
+    return a_out, b_out, c_out
 
 
 def embedding_near_dup_pairs(
-    ds, vec_col: str, id_col: str, dim: int, threshold: float = 0.95, num_planes: int = 12
+    ds,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    num_tables: int = 4,
+    max_bucket_size: int = 4096,
+    verify_block: int = 1024,
 ):
-    """Pairs with cosine similarity >= threshold, found via hyperplane-LSH
-    buckets and exact cosine verification within each bucket."""
-    stage = HyperplaneStage(vec_col, id_col, dim, num_planes)
+    """Pairs with cosine similarity >= threshold via multi-table
+    hyperplane-LSH buckets and chunked exact-cosine verification.
+
+    Scale contract (the 100 TB story):
+
+    * buckets with more than ``max_bucket_size`` members are SKIPPED — a
+      bucket that large means degenerate content (e.g. millions of identical
+      vectors), which exact dedup handles; verifying it would be O(b²).
+    * within a bucket the cosine verify runs in ``verify_block``-row strips
+      (O(block × b) peak memory), never materializing a b×b matrix.
+    * recall comes from ``num_tables`` independent plane sets (band-style
+      repetition); granularity from ``num_planes`` (2^planes buckets/table).
+    * the shuffle carries (sig, id, normalized vector) — num_tables× the
+      vector volume.  For very wide embeddings prefer fewer tables + more
+      planes, or the MinHash-style signature-store join shape
+      (:func:`_minhash_lsh_pairs_join`) with vectors in parquet.
+    """
+    stage = HyperplaneStage(vec_col, id_col, dim, num_planes, num_tables)
     signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
+    def explode_tables(batch: pa.Table) -> pa.Table:
+        parts = []
+        for t in range(num_tables):
+            sig = batch.column(f"sig_{t}").to_numpy()
+            parts.append(
+                pa.table(
+                    {
+                        "sig": batch.column(f"sig_{t}"),
+                        # co-locating bucket: many sig buckets per reduce task
+                        "bkt": pa.array(
+                            (sig.view(np.uint64) % np.uint64(64)).astype(np.int64),
+                            type=pa.int64(),
+                        ),
+                        id_col: batch.column(id_col),
+                        "norm_vec": batch.column("norm_vec"),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    exploded = signed.map_batches(explode_tables, batch_format="pyarrow")
+
     def bucket_pairs(tbl: pa.Table) -> pa.Table:
-        ids = tbl.column(id_col).to_numpy()
-        mat = np.stack(tbl.column("norm_vec").to_pylist())
-        order = np.argsort(ids)
-        ids, mat = ids[order], mat[order]
-        sims = mat @ mat.T
-        iu = np.triu_indices(len(ids), k=1)
-        hit = sims[iu] >= threshold
+        from rayhll.pipelines.similarity import _vec_matrix
+
+        df_ids = tbl.column(id_col).to_numpy()
+        sigs = tbl.column("sig").to_numpy()
+        mats = _vec_matrix(tbl, "norm_vec")
+        order = np.lexsort((df_ids, sigs))
+        sig_sorted = sigs[order]
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(sig_sorted)) + 1, [len(sig_sorted)])
+        )
+        a_out, b_out, c_out = [], [], []
+        for s in range(len(bounds) - 1):
+            lo, hi = bounds[s], bounds[s + 1]
+            if hi - lo < 2:
+                continue
+            sel = order[lo:hi]
+            ids = df_ids[sel]
+            uniq_ids, first = np.unique(ids, return_index=True)
+            if len(uniq_ids) < 2 or len(uniq_ids) > max_bucket_size:
+                continue  # singleton or degenerate bucket (see docstring)
+            a, b, c = _chunked_cosine_pairs(
+                uniq_ids, mats[sel][first], threshold, verify_block
+            )
+            a_out += a
+            b_out += b
+            c_out += c
+        if not a_out:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
         return pa.table(
             {
-                "id_a": pa.array(ids[iu[0][hit]], type=pa.int64()),
-                "id_b": pa.array(ids[iu[1][hit]], type=pa.int64()),
-                "cosine": pa.array(sims[iu][hit], type=pa.float64()),
+                "id_a": pa.array(np.concatenate(a_out), type=pa.int64()),
+                "id_b": pa.array(np.concatenate(b_out), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(c_out), type=pa.float64()),
             }
         )
 
-    return signed.groupby("bucket_sig").map_groups(bucket_pairs, batch_format="pyarrow")
+    pairs = exploded.groupby("bkt").map_groups(bucket_pairs, batch_format="pyarrow")
+
+    # a pair can surface from several tables — distinct on (id_a, id_b)
+    def add_pair_bucket(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("id_a").to_numpy()
+        return tbl.append_column(
+            "pbkt", pa.array((a % 64).astype(np.int64), type=pa.int64())
+        )
+
+    def dedup_pairs(tbl: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(tbl)
+            .unique(subset=["id_a", "id_b"])
+            .select(["id_a", "id_b", "cosine"])
+            .to_arrow()
+        )
+
+    return (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pbkt")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+    )

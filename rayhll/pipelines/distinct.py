@@ -202,10 +202,15 @@ def flagship_global(
     final = level1.repartition(1).map_batches(
         merge_partials_block, batch_format="pyarrow", batch_size=None
     )
-    row = final.take(1)[0]
+    rows = final.take(1)
+    empty = HllSketch(settings or HllSettings(11, 5))
     cols: dict[str, list] = {}
     for k, sc, ec in zip(KEYS, SKETCH_COLS, EST_COLS):
-        sk = from_bytes(row[sc])
+        # empty input produces b"" partial blobs — substitute an EMPTY sketch
+        blob = rows[0][sc] if rows else b""
+        sk = from_bytes(blob) if blob else empty
         cols[ec] = [sk.cardinality()]
-    cols["rows_in"] = [row["rows_in"]]
-    return pa.table(cols)
+    cols["rows_in"] = [rows[0]["rows_in"] if rows else 0]
+    return pa.table(
+        {k: pa.array(v, type=pa.int64()) for k, v in cols.items()}
+    )

@@ -34,6 +34,17 @@ from rayhll.functions import hashing
 
 SKETCH_COL = "sketch"
 ROWS_COL = "rows_in"
+
+#: Group-identity contract: the 64-bit xxhash of the group columns
+#: (``GHASH_COL``) IS the group identity end-to-end (build → premerge →
+#: bucket merge).  Two distinct group-key tuples colliding in 64 bits would
+#: silently merge under the first tuple's label.  Expected collisions are
+#: ~G²/2^65 for G groups (birthday bound): ~5e-8 at 1M groups, ~0.05 at 1B
+#: groups — acceptable for approximate aggregation (the estimates are already
+#: ±1.04/√m), and the bound is pinned by tests/test_ray_agg.py.  Pipelines
+#: needing exactness at ≥10^10 groups should groupby the raw key columns
+#: instead (grouped_approx_distinct carries the group values on every row, so
+#: the reduce could compare them; the hash is kept for shuffle compactness).
 ESTIMATE_COL = "estimate"
 GHASH_COL = "_ghash"
 BUCKET_COL = "_bucket"

@@ -142,20 +142,31 @@ def _q_flagship_code_global(sf_dir: str):
 
 
 def _q_hll_estimate_text_probabilistic(sf_dir: str):
-    """Probabilistic estimate at log2m=11 (deterministic, not SQL-expressible:
-    rows-only driver check; error bound asserted in tests)."""
+    """Probabilistic estimate at log2m=11, ORACLE-GATED on its error bound:
+    the query computes the probabilistic estimate AND the exact count (via
+    the already-oracle-gated EXACT_MODE path) and emits whether the relative
+    error is within 3σ of the published bound (1.04/√m).  The oracle is the
+    constant TRUE — a hard pass/fail the driver hash-checks."""
+    import numpy as np
     import pyarrow as pa
 
     from rayhll import ray_agg
 
     ds = _read(sf_dir, "documents", columns=["text"])
     est = ray_agg.approx_distinct(ds, ["text"])
-    return pa.table({"estimate_text": pa.array([est], type=pa.int64())})
+    exact = ray_agg.approx_distinct(ds, ["text"], settings=ray_agg.EXACT_MODE)
+    ok = abs(est - exact) / max(exact, 1) < 3 * 1.04 / np.sqrt(2.0**11)
+    return pa.table({"estimate_within_3sigma": pa.array([bool(ok)], type=pa.bool_())})
 
 
 def _q_hll_sketch_hex_by_lang(sf_dir: str):
-    """Serialized storage-spec v1.0.0 sketch per lang, as postgres hex
-    (interop surface; deterministic; rows-only check)."""
+    """Serialized storage-spec v1.0.0 sketch per lang as postgres hex,
+    ORACLE-GATED on the round-trip invariant: each group's sketch is
+    serialized to pg hex, re-parsed, and its estimate checked against the
+    exact per-group COUNT(DISTINCT) (3σ bound at log2m=11).  The oracle is
+    the per-lang all-TRUE table, so the driver hash-gates hex round-trip +
+    estimator accuracy per group."""
+    import numpy as np
     import pyarrow as pa
 
     from rayhll import ray_agg
@@ -165,14 +176,29 @@ def _q_hll_sketch_hex_by_lang(sf_dir: str):
     merged = ray_agg.grouped_approx_distinct(
         ds, ["lang"], ["text"], include_sketch=True
     )
+    exact = ray_agg.grouped_approx_distinct(
+        ds, ["lang"], ["text"], settings=ray_agg.EXACT_MODE
+    )
+    exact_by_lang = {
+        r["lang"]: r["estimate"] for r in exact.take_all()
+    }
+    bound = 3 * 1.04 / np.sqrt(2.0**11)
 
     def hexify(batch: pa.Table) -> pa.Table:
-        hexes = [serde.to_pg_hex(b.as_py()) for b in batch.column(ray_agg.SKETCH_COL)]
+        oks = []
+        for lang_val, blob in zip(
+            batch.column("lang").to_pylist(),
+            batch.column(ray_agg.SKETCH_COL).to_pylist(),
+        ):
+            hx = serde.to_pg_hex(blob)
+            rt = serde.from_bytes(serde.from_pg_hex(hx))
+            est = rt.cardinality()
+            ex = exact_by_lang[lang_val]
+            oks.append(abs(est - ex) / max(ex, 1) < bound)
         return pa.table(
             {
                 "lang": batch.column("lang"),
-                "sketch_hex": pa.array(hexes, type=pa.string()),
-                "estimate": batch.column(ray_agg.ESTIMATE_COL),
+                "roundtrip_within_bound": pa.array(oks, type=pa.bool_()),
             }
         )
 
@@ -261,7 +287,11 @@ def _q_countmin_event_type_counts(sf_dir: str):
 
 
 def _q_tdigest_price_quantiles(sf_dir: str):
-    """Approximate quantiles (rows-only; rank-error bound tested in pytest)."""
+    """Approximate quantiles, ORACLE-GATED on rank error: each t-digest
+    estimate's empirical CDF position (computed by DuckDB over the same
+    parquet) must sit within 0.02 of the requested quantile; the oracle is
+    the constant-TRUE table (VERDICT r1 item 3)."""
+    import duckdb
     import pyarrow as pa
 
     from rayhll import ray_agg
@@ -275,16 +305,29 @@ def _q_tdigest_price_quantiles(sf_dir: str):
     ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
     td = ray_agg.aggregate_family(ds, build, TDigest)
     qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    ests = [td.quantile(q) for q in qs]
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    cdfs = [
+        duckdb.sql(
+            f"SELECT COUNT(*) FILTER (l_extendedprice <= {e}) * 1.0 / COUNT(*) "
+            f"FROM read_parquet('{li}')"
+        ).fetchone()[0]
+        for e in ests
+    ]
     return pa.table(
         {
             "q": pa.array(qs, type=pa.float64()),
-            "quantile_est": pa.array([td.quantile(q) for q in qs], type=pa.float64()),
+            "within_tol": pa.array(
+                [abs(c - q) <= 0.02 for c, q in zip(cdfs, qs)], type=pa.bool_()
+            ),
         }
     )
 
 
 def _q_kll_event_value_quantiles(sf_dir: str):
-    """KLL quantiles of events.value (rows-only; bound tested in pytest)."""
+    """KLL quantiles of events.value, ORACLE-GATED on rank error (same
+    scheme as the t-digest query; tolerance 0.03 per KLL k=200's bound)."""
+    import duckdb
     import pyarrow as pa
 
     from rayhll import ray_agg
@@ -298,10 +341,21 @@ def _q_kll_event_value_quantiles(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["value"])
     sk = ray_agg.aggregate_family(ds, build, KLLSketch)
     qs = [0.1, 0.5, 0.9]
+    ests = [sk.quantile(q) for q in qs]
+    ev = os.path.join(sf_dir, "events.parquet")
+    cdfs = [
+        duckdb.sql(
+            f"SELECT COUNT(*) FILTER (value <= {e}) * 1.0 / COUNT(*) "
+            f"FROM read_parquet('{ev}')"
+        ).fetchone()[0]
+        for e in ests
+    ]
     return pa.table(
         {
             "q": pa.array(qs, type=pa.float64()),
-            "quantile_est": pa.array([sk.quantile(q) for q in qs], type=pa.float64()),
+            "within_tol": pa.array(
+                [abs(c - q) <= 0.03 for c, q in zip(cdfs, qs)], type=pa.bool_()
+            ),
         }
     )
 
@@ -325,9 +379,13 @@ def _q_ann_topk_embeddings(sf_dir: str):
 
 
 def _q_ivf_topk_embeddings(sf_dir: str):
-    """IVF approximate top-k (rows-only; recall tested in pytest)."""
+    """IVF approximate top-k, ORACLE-GATED on recall: the query compares its
+    IVF result against the exact top-k (DuckDB brute force on the same
+    parquet) and emits whether recall@10 >= 0.9; the oracle is the constant
+    TRUE (VERDICT r1 item 3)."""
     import duckdb
     import numpy as np
+    import pyarrow as pa
 
     from rayhll.pipelines.similarity import ivf_topk
 
@@ -338,7 +396,16 @@ def _q_ivf_topk_embeddings(sf_dir: str):
         ).df()["embedding"].to_numpy()
     )
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, q, k=10, nlist=16, nprobe=8)
+    got = set(ivf_topk(ds, q, k=10, nlist=16, nprobe=12).column("vec_id").to_pylist())
+    exact = set(
+        duckdb.sql(
+            "SELECT vec_id FROM (SELECT vec_id, list_cosine_similarity(embedding, "
+            f"(SELECT embedding FROM read_parquet('{emb_path}') WHERE vec_id = 0)) AS sim "
+            f"FROM read_parquet('{emb_path}')) ORDER BY sim DESC LIMIT 10"
+        ).df()["vec_id"]
+    )
+    recall = len(got & exact) / 10.0
+    return pa.table({"recall_ge_09": pa.array([recall >= 0.9], type=pa.bool_())})
 
 
 def _q_minhash_near_dup_pairs(sf_dir: str):
@@ -347,6 +414,74 @@ def _q_minhash_near_dup_pairs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.8)
+
+
+def _q_minhash_exact_dup_pairs(sf_dir: str):
+    """MinHash+LSH at threshold 1.0 with text-hash verification over
+    documents with injected exact duplicates, ORACLE-GATED: LSH generates
+    the candidates (identical texts always collide in every band) and the
+    exact verify prunes the rare all-signature collisions between
+    very-high-Jaccard near-dups, so the found pairs equal the SQL
+    exact-duplicate pairs (VERDICT r1 item 3)."""
+    import pyarrow as pa
+
+    from rayhll.pipelines.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def with_copies(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sub = batch.filter(pc.less(batch.column("doc_id"), 25))
+        if len(sub) == 0:
+            return batch
+        extra = pa.table(
+            {
+                "doc_id": pc.add(sub.column("doc_id"), 1_000_000),
+                "text": sub.column("text"),
+            }
+        )
+        return pa.concat_tables([batch, extra.cast(batch.schema)])
+
+    augmented = ds.map_batches(with_copies, batch_format="pyarrow")
+    pairs = minhash_lsh_pairs(
+        augmented, "text", "doc_id", threshold=1.0, verify_text_hash=True
+    )
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+def _q_lang_id_accuracy_snippets(sf_dir: str):
+    """Language-ID accuracy on deterministic labeled snippets, ORACLE-GATED:
+    emits one (snippet_id, correct) row per snippet; the oracle is the
+    all-TRUE table.  (The sf documents.text column is English-ish words for
+    every lang label — see TESTDATA notes — so accuracy must be measured on
+    genuinely-multilingual text; the per-document query stays rows-only.)"""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.pipelines.text import LangId
+
+    rows = [
+        {"snippet_id": 0, "text": "the cat sat on the mat and it was happy in the sun", "lang": "en"},
+        {"snippet_id": 1, "text": "der Hund ist nicht mit der Katze auf das Sofa gegangen", "lang": "de"},
+        {"snippet_id": 2, "text": "los perros corren por las calles con una alegría enorme para todos", "lang": "es"},
+        {"snippet_id": 3, "text": "les enfants jouent dans le parc pour une heure avec leurs amis", "lang": "fr"},
+        {"snippet_id": 4, "text": "数据库系统使用哈希连接和排序合并来处理大规模数据集的查询计划", "lang": "zh"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = ds.map_batches(LangId(), batch_format="pyarrow")
+
+    def check(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "snippet_id": batch.column("snippet_id"),
+                "correct": pc.equal(batch.column("lang_pred"), batch.column("lang")),
+            }
+        )
+
+    return out.map_batches(check, batch_format="pyarrow")
 
 
 def _q_simhash_fingerprints(sf_dir: str):
@@ -432,7 +567,8 @@ def _q_embedding_near_dup_pairs(sf_dir: str):
 
 def _q_multimodal_features(sf_dir: str):
     """Multimodal decode+feature pipeline over synthetic binary assets
-    (deterministic fake decoder; rows-only)."""
+    (deterministic fake decoder), ORACLE-GATED on the (asset_id, media_type)
+    output surface — the synth table's media assignment is SQL-expressible."""
     import ray.data as rd
 
     from rayhll.pipelines.multimodal import multimodal_pipeline, synth_asset_table
@@ -477,8 +613,13 @@ def _q_session_windows_events(sf_dir: str):
 
 
 def _q_tdigest_price_by_returnflag(sf_dir: str):
-    """Per-group t-digest quantiles (rows-only; 0.1%-level median error is
-    asserted vs quantile_cont in pytest)."""
+    """Per-group t-digest quantiles, ORACLE-GATED on per-group rank error:
+    each group's p50/p99 estimate must land within 0.02 of its requested
+    rank in that group's empirical CDF (DuckDB); oracle = per-group
+    all-TRUE table.  Row counts stay exact and are gated directly."""
+    import duckdb
+    import pyarrow as pa
+
     from rayhll import ray_agg
     from rayhll.sketches.tdigest import TDigest
 
@@ -488,7 +629,7 @@ def _q_tdigest_price_by_returnflag(sf_dir: str):
         return td.to_bytes()
 
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
-    return ray_agg.grouped_aggregate_family(
+    out = ray_agg.grouped_aggregate_family(
         ds,
         ["l_returnflag"],
         build,
@@ -498,6 +639,25 @@ def _q_tdigest_price_by_returnflag(sf_dir: str):
             "p99": td.quantile(0.99),
             "n": int(td.total_weight),
         },
+    ).take_all()
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    flags, p50_ok, p99_ok, ns = [], [], [], []
+    for r in out:
+        flags.append(r["l_returnflag"])
+        for est, q, dest in ((r["p50"], 0.5, p50_ok), (r["p99"], 0.99, p99_ok)):
+            cdf = duckdb.sql(
+                f"SELECT COUNT(*) FILTER (l_extendedprice <= {est}) * 1.0 / COUNT(*) "
+                f"FROM read_parquet('{li}') WHERE l_returnflag = '{r['l_returnflag']}'"
+            ).fetchone()[0]
+            dest.append(abs(cdf - q) <= 0.02)
+        ns.append(r["n"])
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags, type=pa.string()),
+            "p50_within_tol": pa.array(p50_ok, type=pa.bool_()),
+            "p99_within_tol": pa.array(p99_ok, type=pa.bool_()),
+            "n": pa.array(ns, type=pa.int64()),
+        }
     )
 
 
@@ -611,8 +771,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "ivf_topk_embeddings": _q_ivf_topk_embeddings,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
+        "minhash_exact_dup_pairs": _q_minhash_exact_dup_pairs,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "lang_id_documents": _q_lang_id_documents,
+        "lang_id_accuracy_snippets": _q_lang_id_accuracy_snippets,
         "fingerprint_documents": _q_fingerprint_documents,
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
         "multimodal_features": _q_multimodal_features,
@@ -729,6 +891,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(vec_id AS BIGINT) AS id_a, "
             "CAST(vec_id + 1000000 AS BIGINT) AS id_b "
             "FROM embeddings WHERE vec_id < 50"
+        ),
+        "minhash_exact_dup_pairs": (
+            "SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b "
+            "FROM (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25) a "
+            "JOIN (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25) b "
+            "ON a.text = b.text AND a.doc_id < b.doc_id"
+        ),
+        "lang_id_accuracy_snippets": (
+            "SELECT CAST(r AS BIGINT) AS snippet_id, TRUE AS correct FROM range(5) t(r)"
+        ),
+        "hll_estimate_text_probabilistic": "SELECT TRUE AS estimate_within_3sigma",
+        "ivf_topk_embeddings": "SELECT TRUE AS recall_ge_09",
+        "tdigest_price_quantiles": (
+            "SELECT q, TRUE AS within_tol FROM (VALUES (0.1), (0.25), (0.5), "
+            "(0.75), (0.9), (0.99)) t(q)"
+        ),
+        "kll_event_value_quantiles": (
+            "SELECT q, TRUE AS within_tol FROM (VALUES (0.1), (0.5), (0.9)) t(q)"
+        ),
+        "multimodal_features": (
+            "SELECT CAST(r AS BIGINT) AS asset_id, CASE r % 3 WHEN 0 THEN 'image' "
+            "WHEN 1 THEN 'audio' ELSE 'video' END AS media_type FROM range(200) t(r)"
+        ),
+        "hll_sketch_hex_by_lang": (
+            "SELECT lang, TRUE AS roundtrip_within_bound FROM documents GROUP BY lang"
+        ),
+        "tdigest_price_by_returnflag": (
+            "SELECT l_returnflag, TRUE AS p50_within_tol, TRUE AS p99_within_tol, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag"
         ),
         "flagship_code_global": (
             "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS est_distinct_content, "

@@ -78,12 +78,14 @@ class MinHashStage:
         num_perm: int = 128,
         num_bands: int = 32,
         gram: int = 3,
+        emit_texthash: bool = False,
     ):
         self.text_col = text_col
         self.id_col = id_col
         self.num_perm = num_perm
         self.num_bands = num_bands
         self.gram = gram
+        self.emit_texthash = emit_texthash
 
     def shingle_hashes(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         """(flat shingle hashes uint64, offsets int64[n+1]) for the batch."""
@@ -130,6 +132,9 @@ class MinHashStage:
         out["signature"] = pa.array(
             [s.tobytes() for s in sigs.astype("<u8")], type=pa.binary()
         )
+        if self.emit_texthash:
+            th = hash64_table(batch, [self.text_col], seed=0x7E47)
+            out["texthash"] = pa.array(th, type=pa.int64())
         for b in range(self.num_bands):
             out[f"band_{b}"] = pa.array(bands[:, b], type=pa.int64())
         return pa.table(out)
@@ -149,9 +154,15 @@ def minhash_lsh_pairs(
     gram: int = 3,
     carry_signatures: bool = True,
     max_bucket_size: int = 1000,
+    verify_text_hash: bool = False,
 ):
     """Dataset of near-duplicate pairs ``(id_a, id_b, jaccard)`` with
     ``id_a < id_b`` and signature-estimated Jaccard >= threshold.
+
+    ``verify_text_hash=True`` (carry-signatures variant only) additionally
+    requires the 64-bit text hashes to match — the LSH-prefilter + exact
+    verify shape for exact dedup at ``threshold=1.0``, where all-signature
+    collisions between very-high-Jaccard near-dups would otherwise surface.
 
     ``carry_signatures=True`` (default) ships each doc's signature inside its
     band rows — simplest, but duplicates ~1 KiB × num_bands per doc through
@@ -162,41 +173,45 @@ def minhash_lsh_pairs(
     Buckets larger than ``max_bucket_size`` are skipped in both variants
     (degenerate content; quadratic pair blow-up)."""
     if not carry_signatures:
+        if verify_text_hash:
+            raise ValueError("verify_text_hash requires carry_signatures=True")
         return _minhash_lsh_pairs_join(
             ds, text_col, id_col, threshold, num_perm, num_bands, gram, max_bucket_size
         )
-    stage = MinHashStage(text_col, id_col, num_perm, num_bands, gram)
+    stage = MinHashStage(
+        text_col, id_col, num_perm, num_bands, gram, emit_texthash=verify_text_hash
+    )
     signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
-    # explode to one (band_key, id, signature) row per band
+    # explode to one (band_key, id, signature[, texthash]) row per band
     def explode_bands(batch: pa.Table) -> pa.Table:
         n = len(batch)
         ids = batch.column(id_col)
         sig = batch.column("signature")
-        keys, out_ids, out_sigs = [], [], []
+        keys = []
         for b in range(num_bands):
             bh = batch.column(f"band_{b}").to_numpy()
             # band id folded into the key so different bands never collide
             keys.append(splitmix64(bh.view(np.uint64) ^ np.uint64(b + 1)).view(np.int64))
-            out_ids.append(ids)
-            out_sigs.append(sig)
         band_key = np.concatenate(keys)
-        return pa.table(
-            {
-                "band_key": pa.array(band_key, type=pa.int64()),
-                # co-locating bucket: many band keys per reduce task
-                "bkt": pa.array(
-                    (band_key.view(np.uint64) % np.uint64(64)).astype(np.int64),
-                    type=pa.int64(),
-                ),
-                id_col: pa.concat_arrays(
-                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in out_ids]
-                ),
-                "signature": pa.concat_arrays(
-                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in out_sigs]
-                ),
-            }
-        )
+
+        def tiled(col):
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            return pa.concat_arrays([col] * num_bands)
+
+        cols = {
+            "band_key": pa.array(band_key, type=pa.int64()),
+            # co-locating bucket: many band keys per reduce task
+            "bkt": pa.array(
+                (band_key.view(np.uint64) % np.uint64(64)).astype(np.int64),
+                type=pa.int64(),
+            ),
+            id_col: tiled(ids),
+            "signature": tiled(sig),
+        }
+        if verify_text_hash:
+            cols["texthash"] = tiled(batch.column("texthash"))
+        return pa.table(cols)
 
     exploded = signed.map_batches(explode_bands, batch_format="pyarrow")
 
@@ -210,13 +225,19 @@ def minhash_lsh_pairs(
             order = np.argsort(ids)
             ids = ids[order]
             sigs = np.stack([_sig_from_bytes(s) for s in grp["signature"]])[order]
+            th = grp["texthash"].to_numpy()[order] if verify_text_hash else None
             uniq_ids, first = np.unique(ids, return_index=True)
             if len(uniq_ids) < 2:
                 continue
             sigs = sigs[first]
+            if th is not None:
+                th = th[first]
             for i in range(len(uniq_ids)):
                 eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-                hit = np.flatnonzero(eq >= threshold)
+                hit = eq >= threshold
+                if th is not None:
+                    hit &= th[i + 1 :] == th[i]
+                hit = np.flatnonzero(hit)
                 for j in hit:
                     a_ids.append(int(uniq_ids[i]))
                     b_ids.append(int(uniq_ids[i + 1 + j]))

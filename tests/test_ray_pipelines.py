@@ -505,3 +505,53 @@ def test_embedding_near_dup_degenerate_bucket_capped(ray_session):
     # the injected near-copies are found (deterministic planes + vectors)
     want = {(800_000 + i, 900_000 + i) for i in range(10)}
     assert want <= got
+
+
+def test_topk_distributed_reduce_many_blocks(ray_session):
+    """Top-k over many blocks: the tree-merged distributed reduce (no full
+    candidate materialization on the driver) still matches exact numpy,
+    including with several query rows (VERDICT r1 item 2)."""
+    import ray.data as rd
+
+    from rayhll.pipelines.similarity import brute_force_topk
+
+    N, DIM, K = 120_000, 16, 7
+    t = _emb_table(np.arange(N, dtype=np.uint64), DIM)
+    mat = np.asarray(t.column("embedding").combine_chunks().flatten()).reshape(N, DIM)
+    queries = mat[[3, 777, 5555]]
+    ds = rd.from_arrow(t).repartition(64)
+    got = brute_force_topk(ds, queries, k=K, id_col="vec_id").to_pandas()
+    nq = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = qn @ nq.T
+    for qi in range(3):
+        sub = got[got.query_idx == qi].sort_values("rank")
+        want = set(np.argsort(-sims[qi])[:K])
+        assert set(sub.vec_id) == want
+        assert list(sub["rank"]) == list(range(K))
+        assert (np.diff(sub.cosine.to_numpy()) <= 1e-12).all()
+
+
+def test_heavy_hitters_distributed_candidates(ray_session):
+    """Heavy hitters over many blocks: bucketed candidate reduce matches the
+    exact top-k counts."""
+    import ray.data as rd
+
+    from rayhll.pipelines.windows import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: value i has frequency ~ 1/(i+1)
+    vals = np.repeat(np.arange(200), (20_000 / (np.arange(200) + 1)).astype(np.int64))
+    rng.shuffle(vals)
+    t = pa.table({"v": pa.array([f"val_{v:03d}" for v in vals], type=pa.string())})
+    ds = rd.from_arrow(t).repartition(32)
+    got = heavy_hitters(ds, "v", k=5, width=1 << 14).to_pandas()
+    import pandas as pd
+
+    exact = (
+        pd.Series([f"val_{v:03d}" for v in vals])
+        .value_counts()
+        .head(5)
+    )
+    assert list(got["v"]) == list(exact.index)
+    assert list(got["est_count"]) == list(exact.values)

@@ -39,7 +39,43 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
-def run_queries() -> tuple[dict, float]:
+_OP_RE = None
+
+
+def stats_digest(stats_text: str) -> list[dict]:
+    """Compact per-operator digest of ``ds.stats()`` text: operator name,
+    task count, wall time and total output rows — enough to verify stage
+    shape (task counts, no driver funnels) across rounds without the full
+    dump (VERDICT r1 item 10)."""
+    import re
+
+    ops: list[dict] = []
+    cur: dict | None = None
+    for line in stats_text.splitlines():
+        m = re.match(r"^Operator \d+ (\S+): (.*)$", line.strip())
+        if m:
+            cur = {"op": m.group(1)}
+            hdr = m.group(2)
+            mt = re.match(r"(\d+) tasks executed, (\d+) blocks produced(?: in ([\d.]+)s)?", hdr)
+            if mt:
+                cur["tasks"] = int(mt.group(1))
+                cur["blocks"] = int(mt.group(2))
+                if mt.group(3):
+                    cur["sec"] = float(mt.group(3))
+            else:
+                me = re.match(r"executed in ([\d.]+)s", hdr)
+                if me:
+                    cur["sec"] = float(me.group(1))
+            ops.append(cur)
+            continue
+        if cur is not None:
+            mr = re.match(r"\* Output num rows per block: .*?(\d+) total", line.strip())
+            if mr:
+                cur["rows_out"] = int(mr.group(1))
+    return ops
+
+
+def run_queries() -> tuple[dict, float, dict]:
     import ray.data as rd
 
     from rayhll import ray_agg
@@ -47,11 +83,14 @@ def run_queries() -> tuple[dict, float]:
     from rayhll.sources.synth import code_table_from_documents, synth_code_dataset
 
     timings: dict[str, float] = {}
+    digests: dict[str, list] = {}
 
     def timed(name, fn):
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 4)
+        if hasattr(out, "stats"):
+            digests[name] = stats_digest(out.stats())
         return out
 
     # q1: flagship grouped sketches over the documents-derived code table
@@ -59,7 +98,7 @@ def run_queries() -> tuple[dict, float]:
         ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")).map_batches(
             code_table_from_documents, batch_format="pyarrow", zero_copy_batch=True
         )
-        return distinct.flagship_grouped(ds).count()
+        return distinct.flagship_grouped(ds).materialize()
 
     # q2: composite-key distinct on lineitem (column-pruned read)
     def q2():
@@ -74,7 +113,9 @@ def run_queries() -> tuple[dict, float]:
         ds = rd.read_parquet(
             os.path.join(SF_DIR, "events.parquet"), columns=["event_type", "user_id"]
         )
-        return ray_agg.grouped_approx_distinct(ds, ["event_type"], ["user_id"]).count()
+        return ray_agg.grouped_approx_distinct(
+            ds, ["event_type"], ["user_id"]
+        ).materialize()
 
     # q4: sketch-build throughput over the synthetic source-code corpus
     # (distributed deterministic synthesis; grouped multi-key build + shuffle).
@@ -87,7 +128,7 @@ def run_queries() -> tuple[dict, float]:
         ds = synth_code_dataset(SYNTH_ROWS, override_num_blocks=NUM_CPUS * 4)
         return distinct.flagship_grouped(
             ds, hash_content=False, batch_size=batch
-        ).count()
+        ).materialize()
 
     # untimed warmup: spin up the worker pool + import polars/numpy in
     # workers so q1 doesn't pay cold-start
@@ -100,7 +141,7 @@ def run_queries() -> tuple[dict, float]:
     timed("q3_events_grouped_users", q3)
     timed("q4_synth_sketch_build", q4)
     rows_per_sec = SYNTH_ROWS / timings["q4_synth_sketch_build"]
-    return timings, rows_per_sec
+    return timings, rows_per_sec, digests
 
 
 def main() -> None:
@@ -119,7 +160,7 @@ def main() -> None:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
-    timings, rows_per_sec = run_queries()
+    timings, rows_per_sec, digests = run_queries()
     result = {
         "metric": "rayhll headline pipelines wall time",
         "value": round(sum(timings.values()), 4),
@@ -129,6 +170,7 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "sketch_build_rows_per_sec": round(rows_per_sec),
         "synth_rows": SYNTH_ROWS,
+        "stats_digest": digests,
     }
     print(json.dumps(result))
     ray.shutdown()

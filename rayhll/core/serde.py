@@ -42,6 +42,13 @@ EXPLICIT_OFF_SENTINEL = 0
 EXPLICIT_AUTO_SENTINEL = 63
 
 
+def schema_version_of(data: bytes | bytearray | memoryview) -> int:
+    """Schema-version nibble of a serialized sketch's first byte."""
+    if len(data) < 1:
+        raise ValueError("serialized HLL too short (0 bytes)")
+    return (data[0] >> 4) & 0x0F
+
+
 def _header(sketch: HllSketch) -> bytes:
     s = sketch.settings
     if s.explicit_off:
@@ -82,15 +89,18 @@ def to_bytes(sketch: HllSketch) -> bytes:
 
 
 def from_bytes(data: bytes | bytearray | memoryview) -> HllSketch:
-    """Deserialize storage-spec v1.0.0 bytes
-    (reference: python_hll/hll.py:769-855)."""
+    """Deserialize serialized-sketch bytes, dispatching on the header's
+    schema-version nibble through the pluggable registry
+    (reference: python_hll/serialization.py:563-578, hll.py:769-855)."""
     data = bytes(data)
     if len(data) < HEADER_BYTES:
         raise ValueError(f"serialized HLL too short ({len(data)} bytes)")
+    return get_schema_version(schema_version_of(data)).deserialize(data)
+
+
+def _from_bytes_v1(data: bytes) -> HllSketch:
+    """Schema-version-1 body decoder (reference: python_hll/hll.py:769-855)."""
     byte0, byte1, byte2 = data[0], data[1], data[2]
-    schema_version = (byte0 >> 4) & 0x0F
-    if schema_version != SCHEMA_VERSION:
-        raise ValueError(f"unsupported schema version {schema_version}")
     type_ordinal = byte0 & 0x0F
     try:
         t = HllType(type_ordinal)
@@ -150,8 +160,12 @@ def from_bytes(data: bytes | bytearray | memoryview) -> HllSketch:
 
 
 def settings_from_bytes(data: bytes) -> HllSettings:
-    """Reconstruct HllSettings from a serialized sketch's 3-byte header
-    (same field decoding as :func:`from_bytes`)."""
+    """Reconstruct HllSettings from a serialized sketch's header, dispatching
+    on the schema version."""
+    return get_schema_version(schema_version_of(data)).settings_from_header(data)
+
+
+def _settings_from_bytes_v1(data: bytes) -> HllSettings:
     byte1, byte2 = data[1], data[2]
     regwidth = ((byte1 >> 5) & 0x07) + 1
     log2m = byte1 & 0x1F
@@ -164,6 +178,54 @@ def settings_from_bytes(data: bytes) -> HllSettings:
     else:
         expthresh = cutoff
     return HllSettings(log2m, regwidth, expthresh, sparseon)
+
+
+# ----------------------------------------------------------------------
+# Pluggable schema-version registry (reference: python_hll/serialization.py:
+# 526-578 — SerializationUtil.get_schema_version + SCHEMA_VERSIONS).  v1 is
+# the only spec in the wild; a future v2 registers here without touching any
+# from_bytes caller.
+
+
+class SchemaVersionOne:
+    """Storage-spec v1.0.0 (reference: python_hll/serialization.py:381-523)."""
+
+    schema_version_number = 1
+
+    def serialize(self, sketch: HllSketch) -> bytes:
+        return to_bytes(sketch)
+
+    def deserialize(self, data: bytes) -> HllSketch:
+        return _from_bytes_v1(data)
+
+    def settings_from_header(self, data: bytes) -> HllSettings:
+        return _settings_from_bytes_v1(data)
+
+
+SCHEMA_VERSIONS: dict[int, object] = {1: SchemaVersionOne()}
+DEFAULT_SCHEMA_VERSION = 1
+
+
+def register_schema_version(impl) -> None:
+    """Register a schema-version implementation (``schema_version_number``,
+    ``serialize``, ``deserialize``, ``settings_from_header``).  The version
+    number must fit the 4-bit header nibble."""
+    v = impl.schema_version_number
+    if not 0 <= v <= 15:
+        raise ValueError(f"schema version {v} does not fit the 4-bit header nibble")
+    SCHEMA_VERSIONS[v] = impl
+
+
+def get_schema_version(version: int):
+    """Look up a registered schema version; raises on unknown versions
+    (reference: python_hll/serialization.py:563-578)."""
+    try:
+        return SCHEMA_VERSIONS[version]
+    except KeyError:
+        raise ValueError(
+            f"unsupported schema version {version} "
+            f"(registered: {sorted(SCHEMA_VERSIONS)})"
+        ) from None
 
 
 # ----------------------------------------------------------------------

@@ -155,6 +155,7 @@ def minhash_lsh_pairs(
     carry_signatures: bool = True,
     max_bucket_size: int = 1000,
     verify_text_hash: bool = False,
+    sig_store_dir: str | None = None,
 ):
     """Dataset of near-duplicate pairs ``(id_a, id_b, jaccard)`` with
     ``id_a < id_b`` and signature-estimated Jaccard >= threshold.
@@ -176,8 +177,18 @@ def minhash_lsh_pairs(
         if verify_text_hash:
             raise ValueError("verify_text_hash requires carry_signatures=True")
         return _minhash_lsh_pairs_join(
-            ds, text_col, id_col, threshold, num_perm, num_bands, gram, max_bucket_size
+            ds,
+            text_col,
+            id_col,
+            threshold,
+            num_perm,
+            num_bands,
+            gram,
+            max_bucket_size,
+            sig_store_dir=sig_store_dir,
         )
+    if sig_store_dir is not None:
+        raise ValueError("sig_store_dir requires carry_signatures=False")
     stage = MinHashStage(
         text_col, id_col, num_perm, num_bands, gram, emit_texthash=verify_text_hash
     )
@@ -323,16 +334,40 @@ def _bucket_join_sig(pairs, sigs, id_col: str, key_col: str, out_sig_col: str, n
 
 
 def _minhash_lsh_pairs_join(
-    ds, text_col, id_col, threshold, num_perm, num_bands, gram, max_bucket_size
+    ds,
+    text_col,
+    id_col,
+    threshold,
+    num_perm,
+    num_bands,
+    gram,
+    max_bucket_size,
+    sig_store_dir: str | None = None,
 ):
-    """Scale variant of minhash_lsh_pairs (see its docstring)."""
+    """Scale variant of minhash_lsh_pairs (see its docstring).
+
+    ``sig_store_dir`` selects the signature-store backend:
+
+    * ``None`` (small inputs): ``materialize()`` pins the projected
+      (id, signature) rows in the object store; the band explode re-runs the
+      signature stage once more.
+    * a path (the 100 TB shape): the signature table (id, signature,
+      band_*) is written to partitioned parquet ONCE, and both consumers —
+      the band explode and the two join sides — are column-pruned reads of
+      that store.  One signature pass total, no object-store pinning, and a
+      failed run can resume from the store."""
     stage = MinHashStage(text_col, id_col, num_perm, num_bands, gram)
     signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
-    # materialize() stops the signature pipeline recomputing for each of its
-    # consumers (bands + both join sides).  At 100 TB, write signatures to
-    # parquet instead and re-read (object-store pinning of ~1 KiB/doc state
-    # doesn't fit); the pipeline shape is otherwise identical.
-    sigs = signed.select_columns([id_col, "signature"]).materialize()
+    if sig_store_dir is not None:
+        import ray.data as rd
+
+        signed.write_parquet(sig_store_dir)
+        sigs = rd.read_parquet(sig_store_dir, columns=[id_col, "signature"])
+        signed = rd.read_parquet(
+            sig_store_dir, columns=[id_col] + [f"band_{b}" for b in range(num_bands)]
+        )
+    else:
+        sigs = signed.select_columns([id_col, "signature"]).materialize()
 
     def explode_ids(batch: pa.Table) -> pa.Table:
         keys, ids = [], []

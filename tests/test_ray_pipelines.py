@@ -555,3 +555,29 @@ def test_heavy_hitters_distributed_candidates(ray_session):
     )
     assert list(got["v"]) == list(exact.index)
     assert list(got["est_count"]) == list(exact.values)
+
+
+def test_minhash_parquet_sig_store_matches(ray_session, tmp_path):
+    """The 100TB shape — signatures spilled to a parquet store and re-read
+    column-pruned — finds the identical pair set (VERDICT r1 item 6)."""
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import minhash_lsh_pairs
+
+    ds = rd.from_arrow(_near_dup_docs())
+    a = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5).to_pandas()
+    b = minhash_lsh_pairs(
+        ds,
+        "text",
+        "doc_id",
+        threshold=0.5,
+        carry_signatures=False,
+        sig_store_dir=str(tmp_path / "sigs"),
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b", "jaccard"]].to_numpy()))
+    assert key(a) == key(b) and len(a) > 0
+    # the store itself is a readable signature table
+    import pyarrow.parquet as pq
+
+    stored = pq.read_table(str(tmp_path / "sigs"), columns=["doc_id", "signature"])
+    assert len(stored) == ds.count()

@@ -66,3 +66,52 @@ def test_hex_roundtrip_and_refinalize():
     assert fin.column("estimate").to_pylist() == [
         HllSketch.from_bytes(b).cardinality() for b in blobs
     ]
+
+
+def test_schema_version_registry():
+    """Pluggable schema-version dispatch (reference: serialization.py:563-578):
+    v1 registered by default, unknown versions raise, and a registered v2
+    takes over deserialization for its nibble without touching callers."""
+    import numpy as np
+    import pytest
+
+    from rayhll.core import serde
+    from rayhll.core.settings import HllSettings
+    from rayhll.core.sketch import HllSketch
+
+    sk = HllSketch(HllSettings(11, 5))
+    sk.add_batch(np.arange(100, dtype=np.int64) * 977)
+    blob = serde.to_bytes(sk)
+    assert serde.schema_version_of(blob) == 1
+    assert serde.get_schema_version(1).deserialize(blob).to_bytes() == blob
+
+    # unknown version: error names the version and the registry contents
+    fake = bytes([(7 << 4) | blob[0] & 0x0F]) + blob[1:]
+    with pytest.raises(ValueError, match="schema version 7"):
+        serde.from_bytes(fake)
+    with pytest.raises(ValueError, match="schema version 7"):
+        serde.settings_from_bytes(fake)
+
+    class SchemaVersionSeven:
+        schema_version_number = 7
+
+        def serialize(self, sketch):  # pragma: no cover - not exercised
+            raise NotImplementedError
+
+        def deserialize(self, data):
+            return serde._from_bytes_v1(bytes([data[0] & 0x1F]) + data[1:])
+
+        def settings_from_header(self, data):
+            return serde._settings_from_bytes_v1(data)
+
+    serde.register_schema_version(SchemaVersionSeven())
+    try:
+        assert serde.from_bytes(fake).cardinality() == sk.cardinality()
+        assert serde.settings_from_bytes(fake).log2m == 11
+    finally:
+        del serde.SCHEMA_VERSIONS[7]
+
+    with pytest.raises(ValueError, match="4-bit"):
+        class Bad:
+            schema_version_number = 16
+        serde.register_schema_version(Bad())

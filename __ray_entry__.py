@@ -257,6 +257,39 @@ def _q_bloom_semijoin_lineitem_part(sf_dir: str):
     return pa.table({"n_rows": pa.array([n], type=pa.int64())})
 
 
+def _q_join_orders_customer_by_segment(sf_dir: str):
+    """Distributed bucketed equi-join (orders ⋈ customer) + grouped rollup,
+    ORACLE-GATED: order count and min orderkey per market segment.  The join
+    is the engine's sort-shuffle bucket join (rayhll.functions.join) — Ray's
+    own hash-shuffle join deadlocks small sessions (tests/test_upstream_
+    shuffle.py)."""
+    import pyarrow as pa
+
+    from rayhll.functions.join import bucket_equi_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    joined = bucket_equi_join(orders, cust, on="o_custkey", how="inner")
+
+    def rollup(tbl: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(tbl)
+            .group_by("c_mktsegment")
+            .agg(
+                pl.len().alias("n_orders").cast(pl.Int64),
+                pl.col("o_orderkey").min().alias("min_orderkey"),
+            )
+            .to_arrow()
+        )
+
+    return joined.groupby("c_mktsegment").map_groups(rollup, batch_format="pyarrow")
+
+
 def _q_countmin_event_type_counts(sf_dir: str):
     import duckdb
     import pyarrow as pa
@@ -765,6 +798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": _q_dedup_exact_documents,
         "text_stats_documents": _q_text_stats_documents,
         "bloom_semijoin_lineitem_part": _q_bloom_semijoin_lineitem_part,
+        "join_orders_customer_by_segment": _q_join_orders_customer_by_segment,
         "countmin_event_type_counts": _q_countmin_event_type_counts,
         "tdigest_price_quantiles": _q_tdigest_price_quantiles,
         "kll_event_value_quantiles": _q_kll_event_value_quantiles,
@@ -827,6 +861,12 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semijoin_lineitem_part": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem WHERE l_partkey IN "
             "(SELECT p_partkey FROM part WHERE p_size > 40)"
+        ),
+        "join_orders_customer_by_segment": (
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c_mktsegment"
         ),
         "countmin_event_type_counts": (
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_count "

@@ -1,0 +1,130 @@
+"""Distributed equi-join as a Ray-Data-native sort-shuffle bucketed join.
+
+Ray's own ``Dataset.join`` / hash-shuffle machinery deadlocks local
+sessions below ~32 CPUs in this Ray version (pinned by
+tests/test_upstream_shuffle.py), so the engine provides the join shape the
+instructions call "bucket by key hash when you must co-locate":
+
+1. both sides are padded to one unified schema, tagged with their side, and
+   given a ``key-hash % num_buckets`` bucket column (vectorized);
+2. one ``groupby(bucket)`` co-locates matching keys (a sort shuffle — the
+   only wide op);
+3. within each bucket the actual join runs vectorized in polars.
+
+Scale contract: one bucket's rows must fit in a reduce task; size
+``num_buckets`` to the smaller side (e.g. rows / 10M).  Skewed hot keys
+spread across buckets only if they differ in key — a single degenerate key
+lands in one bucket; pre-aggregate or salt such keys first.
+
+Prefer a broadcast lookup (``ray.put`` + ``pyarrow.compute.is_in`` /
+dict-join inside ``map_batches``) when one side fits in memory — see the
+bloom-semijoin driver query; this operator is for two genuinely large
+sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from rayhll.functions.hashing import hash64_table
+
+_SIDE_COL = "_join_side"
+_BUCKET_COL = "_join_bkt"
+
+_HOWS = ("inner", "left", "semi", "anti")
+
+
+def bucket_equi_join(
+    left,
+    right,
+    on: list[str] | str,
+    how: str = "inner",
+    num_buckets: int = 64,
+    suffix: str = "_right",
+):
+    """Join two Datasets on equal ``on`` columns.
+
+    ``how``: ``inner`` | ``left`` (keep unmatched left rows with nulls) |
+    ``semi`` (left rows with a match, left columns only) | ``anti``
+    (left rows without a match).  Right-side non-key columns colliding with
+    left names get ``suffix``.
+    """
+    if isinstance(on, str):
+        on = [on]
+    if how not in _HOWS:
+        raise ValueError(f"how={how!r} not in {_HOWS}")
+
+    left_schema = left.schema()
+    right_schema = right.schema()
+    left_fields = list(zip(left_schema.names, left_schema.types))
+    for k in on:
+        if k not in left_schema.names or k not in right_schema.names:
+            raise ValueError(f"join key {k!r} missing from a side")
+
+    # unified schema: all left fields, then right non-key fields (renamed on
+    # collision).  rename map applied to the right side before padding.
+    right_out: list[tuple[str, str, object]] = []  # (src, dst, type)
+    for name, typ in zip(right_schema.names, right_schema.types):
+        if name in on:
+            continue
+        dst = name + suffix if name in left_schema.names else name
+        right_out.append((name, dst, typ))
+    unified = left_fields + [(dst, typ) for _, dst, typ in right_out]
+
+    def pad(tbl: pa.Table, is_right: bool) -> pa.Table:
+        n = len(tbl)
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+        for name, typ in unified:
+            if not is_right and name in tbl.column_names:
+                cols[name] = tbl.column(name).cast(typ)
+            elif is_right:
+                src = None
+                if name in on:
+                    src = name
+                else:
+                    for s, d, _ in right_out:
+                        if d == name and s in tbl.column_names:
+                            src = s
+                            break
+                cols[name] = (
+                    tbl.column(src).cast(typ) if src is not None else pa.nulls(n, type=typ)
+                )
+            else:
+                cols[name] = pa.nulls(n, type=typ)
+        out = pa.table(cols)
+        h = hash64_table(out, on, seed=0x10B1)
+        out = out.append_column(
+            _BUCKET_COL,
+            pa.array((h.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)),
+        )
+        return out.append_column(
+            _SIDE_COL, pa.array(np.full(n, is_right, dtype=bool))
+        )
+
+    tagged_left = left.map_batches(
+        lambda t: pad(t, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    tagged_right = right.map_batches(
+        lambda t: pad(t, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    left_names = [n for n, _ in left_fields]
+    right_names = [d for _, d, _ in right_out]
+    pl_how = {"inner": "inner", "left": "left", "semi": "semi", "anti": "anti"}[how]
+
+    def join_bucket(tbl: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tbl)
+        lhs = df.filter(~pl.col(_SIDE_COL)).select(left_names)
+        rhs = df.filter(pl.col(_SIDE_COL)).select(on + right_names)
+        out = lhs.join(rhs, on=on, how=pl_how)
+        if how in ("semi", "anti"):
+            out = out.select(left_names)
+        return out.to_arrow()
+
+    return (
+        tagged_left.union(tagged_right)
+        .groupby(_BUCKET_COL)
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )

@@ -148,12 +148,19 @@ def flagship_grouped(
     concurrency=None,
     include_sketches: bool = False,
     hash_content: bool = True,
+    premerge_batch: int | None = 262144,
 ):
     """Per-(repo, lang) distinct estimates for all three keys.
 
     Returns a Dataset with columns ``repo, lang, est_distinct_content,
     est_distinct_path, est_distinct_repo_commit, rows_in`` (plus the three
-    serialized sketch columns when ``include_sketches``)."""
+    serialized sketch columns when ``include_sketches``).
+
+    ``premerge_batch``: size of the local combiner stage between build and
+    shuffle — partial rows sharing a group hash within each combiner batch
+    are merged before the sort, shrinking shuffle volume by roughly the
+    number of build outputs a combiner batch spans (large when #groups is
+    comparable to the build batch size).  ``None`` disables it."""
     if hash_content:
         ds = ds.map_batches(
             HashStage(), batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
@@ -168,6 +175,11 @@ def flagship_grouped(
         )
     else:
         partials = ds.map_batches(MultiKeyBuild(settings=settings, grouped=True), **kwargs)
+    if premerge_batch:
+        pre = build_stage.make_local_premerge(list(GROUP_COLS), list(SKETCH_COLS))
+        partials = partials.map_batches(
+            pre, batch_format="pyarrow", batch_size=premerge_batch
+        )
     merger = build_stage.make_bucket_merger(
         list(GROUP_COLS),
         list(SKETCH_COLS),

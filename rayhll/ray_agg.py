@@ -142,6 +142,7 @@ def grouped_approx_distinct(
     batch_size: int | None = 262144,
     concurrency=None,
     include_sketch: bool = False,
+    premerge_batch: int | None = 262144,
 ) -> "ray.data.Dataset":
     """Distinct-per-group dataset: ``group_cols... , estimate:int64``.
 
@@ -150,7 +151,10 @@ def grouped_approx_distinct(
     each reduce task merges thousands of groups vectorized and per-group
     Python overhead never dominates.  Skew is bounded twice: a hot group
     costs O(#blocks) fixed-size sketch rows, and hot buckets spread across
-    ``num_buckets`` reducers."""
+    ``num_buckets`` reducers.  A local combiner (``premerge_batch``) merges
+    partial rows sharing a group hash before the sort — shrinking shuffle
+    volume further when #groups approaches the build batch size (measured
+    2.6x on the 56k-group bench corpus; PERF_NOTES #10)."""
     partials = build_partials(
         ds,
         key_cols,
@@ -160,6 +164,13 @@ def grouped_approx_distinct(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+    if premerge_batch:
+        from rayhll.stages.build import make_local_premerge
+
+        pre = make_local_premerge(list(group_cols))
+        partials = partials.map_batches(
+            pre, batch_format="pyarrow", batch_size=premerge_batch
+        )
     merger = make_bucket_merger(
         list(group_cols), [SKETCH_COL], [ESTIMATE_COL], include_sketch=include_sketch
     )

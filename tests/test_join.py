@@ -1,0 +1,93 @@
+"""bucket_equi_join vs DuckDB oracle on the TPC-H-ish testdata."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+CUST_FILTER = "c_custkey % 3 != 0"  # so semi/anti both have rows
+
+
+def _ray_join(how):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from rayhll.functions.join import bucket_equi_join
+
+    orders = rd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = (
+        rd.read_parquet(
+            f"{SF}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+        )
+        .map_batches(
+            lambda t: t.filter(
+                pc.not_equal(
+                    pc.subtract(
+                        t.column("c_custkey"),
+                        pc.multiply(pc.divide(t.column("c_custkey"), 3), 3),
+                    ),
+                    0,
+                )
+            ).rename_columns(["o_custkey", "c_name", "c_acctbal"]),
+            batch_format="pyarrow",
+        )
+    )
+    return bucket_equi_join(orders, cust, on="o_custkey", how=how).to_pandas()
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_bucket_equi_join_matches_duckdb(ray_session, how):
+    got = _ray_join(how)
+    sql = {
+        "inner": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal "
+            f"FROM read_parquet('{SF}/orders.parquet') o "
+            f"JOIN (SELECT * FROM read_parquet('{SF}/customer.parquet') "
+            "WHERE c_custkey % 3 != 0) c ON o.o_custkey = c.c_custkey"
+        ),
+        "left": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal "
+            f"FROM read_parquet('{SF}/orders.parquet') o "
+            f"LEFT JOIN (SELECT * FROM read_parquet('{SF}/customer.parquet') "
+            "WHERE c_custkey % 3 != 0) c ON o.o_custkey = c.c_custkey"
+        ),
+        "semi": (
+            "SELECT o_orderkey, o_custkey, o_totalprice "
+            f"FROM read_parquet('{SF}/orders.parquet') o "
+            f"WHERE o.o_custkey IN (SELECT c_custkey FROM read_parquet('{SF}/customer.parquet') WHERE c_custkey % 3 != 0)"
+        ),
+        "anti": (
+            "SELECT o_orderkey, o_custkey, o_totalprice "
+            f"FROM read_parquet('{SF}/orders.parquet') o "
+            f"WHERE o.o_custkey NOT IN (SELECT c_custkey FROM read_parquet('{SF}/customer.parquet') WHERE c_custkey % 3 != 0)"
+        ),
+    }[how]
+    want = duckdb.sql(sql).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_bucket_equi_join_name_collision_and_duplicates(ray_session):
+    """Colliding non-key names get the suffix; duplicate keys cross-product."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions.join import bucket_equi_join
+
+    left = rd.from_arrow(
+        pa.table({"k": [1, 1, 2, 3], "v": ["a", "b", "c", "d"]})
+    )
+    right = rd.from_arrow(pa.table({"k": [1, 1, 2], "v": ["x", "y", "z"]}))
+    out = bucket_equi_join(left, right, on="k", how="inner").to_pandas()
+    assert sorted(out.columns) == ["k", "v", "v_right"]
+    assert len(out) == 2 * 2 + 1  # k=1 cross product (2x2) + k=2
+    assert set(out[out.k == 1]["v_right"]) == {"x", "y"}

@@ -517,6 +517,16 @@ def _q_lang_id_accuracy_snippets(sf_dir: str):
     return out.map_batches(check, batch_format="pyarrow")
 
 
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs (LSH candidates + exact shingle-
+    set verify; rows-only — the exact values are pinned against a direct
+    python oracle in pytest)."""
+    from rayhll.pipelines.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.8)
+
+
 def _q_simhash_fingerprints(sf_dir: str):
     """64-bit SimHash per document (deterministic; rows-only)."""
     from rayhll.pipelines.dedup import SimHashStage
@@ -806,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_embeddings": _q_ivf_topk_embeddings,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "minhash_exact_dup_pairs": _q_minhash_exact_dup_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "lang_id_documents": _q_lang_id_documents,
         "lang_id_accuracy_snippets": _q_lang_id_accuracy_snippets,

@@ -465,6 +465,112 @@ def _minhash_lsh_pairs_join(
 
 
 # ----------------------------------------------------------------------
+# exact n-gram Jaccard near-dup (LSH candidates + exact set verify)
+
+
+class ShingleSetStage:
+    """Per-doc sorted-unique shingle-hash set, serialized as little-endian
+    uint64 bytes — the compact exact representation for n-gram Jaccard.
+    Reuses MinHashStage's vectorized shingling."""
+
+    def __init__(self, text_col: str, id_col: str, gram: int = 3):
+        self._mh = MinHashStage(text_col, id_col, num_perm=1, num_bands=1, gram=gram)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, offsets = self._mh.shingle_hashes(batch)
+        blobs = []
+        for i in range(len(batch)):
+            seg = np.unique(flat[offsets[i] : offsets[i + 1]])
+            blobs.append(seg.astype("<u8").tobytes())
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "shingles": pa.array(blobs, type=pa.binary()),
+            }
+        )
+
+
+def ngram_jaccard_pairs(
+    ds,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    gram: int = 3,
+    candidate_slack: float = 0.15,
+    num_perm: int = 128,
+    num_bands: int = 32,
+    max_bucket_size: int = 1000,
+):
+    """Pairs with EXACT n-gram (shingle-set) Jaccard >= threshold.
+
+    Shape: MinHash+LSH generates candidates at ``threshold -
+    candidate_slack`` (recall head-room for the estimator's ±1/√num_perm
+    noise), the per-doc sorted shingle-hash sets are joined back to each
+    pair side with the engine's bucketed equi-join, and the exact Jaccard
+    |A∩B| / |A∪B| is computed per candidate (vectorized intersect per pair;
+    the Python loop is bounded by the candidate count, which LSH keeps
+    ~linear).  Returns (id_a, id_b, jaccard) with exact values."""
+    from rayhll.functions.join import bucket_equi_join
+
+    cand = minhash_lsh_pairs(
+        ds,
+        text_col,
+        id_col,
+        threshold=max(threshold - candidate_slack, 0.0),
+        num_perm=num_perm,
+        num_bands=num_bands,
+        max_bucket_size=max_bucket_size,
+    ).drop_columns(["jaccard"])
+    shingles = ds.map_batches(
+        ShingleSetStage(text_col, id_col, gram),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def renamed(dst: str):
+        return shingles.map_batches(
+            lambda t, d=dst: t.rename_columns([d, f"shingles_{d}"]),
+            batch_format="pyarrow",
+        )
+
+    joined = bucket_equi_join(cand, renamed("id_a"), on="id_a", how="inner")
+    joined = bucket_equi_join(joined, renamed("id_b"), on="id_b", how="inner")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        jac = np.empty(len(batch), dtype=np.float64)
+        sa = batch.column("shingles_id_a").to_pylist()
+        sb = batch.column("shingles_id_b").to_pylist()
+        for i, (a, b) in enumerate(zip(sa, sb)):
+            A = np.frombuffer(a, dtype="<u8")
+            B = np.frombuffer(b, dtype="<u8")
+            if len(A) == 0 and len(B) == 0:
+                jac[i] = 1.0
+                continue
+            inter = len(np.intersect1d(A, B, assume_unique=True))
+            jac[i] = inter / (len(A) + len(B) - inter)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").filter(pa.array(keep)),
+                "id_b": batch.column("id_b").filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep], type=pa.float64()),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
 # SimHash near-dup
 
 

@@ -41,7 +41,8 @@ ROWS_COL = "rows_in"
 #: silently merge under the first tuple's label.  Expected collisions are
 #: ~G²/2^65 for G groups (birthday bound): ~5e-8 at 1M groups, ~0.05 at 1B
 #: groups — acceptable for approximate aggregation (the estimates are already
-#: ±1.04/√m), and the bound is pinned by tests/test_ray_agg.py.  Pipelines
+#: ±1.04/√m); the bound is pinned by
+#: tests/test_ray_pipelines.py::test_group_hash_collision_contract.  Pipelines
 #: needing exactness at ≥10^10 groups should groupby the raw key columns
 #: instead (grouped_approx_distinct carries the group values on every row, so
 #: the reduce could compare them; the hash is kept for shuffle compactness).

@@ -581,3 +581,66 @@ def test_minhash_parquet_sig_store_matches(ray_session, tmp_path):
 
     stored = pq.read_table(str(tmp_path / "sigs"), columns=["doc_id", "signature"])
     assert len(stored) == ds.count()
+
+
+def test_group_hash_collision_contract(ray_session):
+    """Documents the 64-bit group-hash identity contract (stages/build.py):
+    expected cross-group collisions follow the birthday bound G^2/2^65 —
+    negligible at engine scales — and distinct group tuples map to distinct
+    hashes on a 1M-group sample (empirical spot check of the bound)."""
+    from rayhll.functions.hashing import hash64_table
+    from rayhll.stages.build import GROUP_HASH_SEED
+
+    # the documented bound
+    for groups, expected in ((1e6, 2.8e-8), (1e9, 0.028)):
+        assert groups * groups / 2.0**65 < expected * 1.01
+    # empirical: 1M distinct 2-col group tuples -> 1M distinct hashes
+    n = 1_000_000
+    t = pa.table(
+        {
+            "repo": pa.array((np.arange(n) // 1000).astype(np.int64)),
+            "lang": pa.array((np.arange(n) % 1000).astype(np.int64)),
+        }
+    )
+    h = hash64_table(t, ["repo", "lang"], seed=GROUP_HASH_SEED)
+    assert len(np.unique(h)) == n
+
+
+def test_ngram_jaccard_exact_pairs(ray_session):
+    """ngram_jaccard_pairs returns EXACT Jaccard values: compared against a
+    direct python shingle-set oracle on crafted docs."""
+    import re
+
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import ngram_jaccard_pairs
+    from rayhll.pipelines.text import TOKEN_PATTERN
+
+    tbl = _near_dup_docs()
+    ds = rd.from_arrow(tbl)
+    got = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.5).to_pandas()
+    got_pairs = {
+        (a, b): j for a, b, j in zip(got.id_a, got.id_b, got.jaccard)
+    }
+
+    # python oracle: token 3-gram shingle sets, exact jaccard, all pairs
+    pat = re.compile(TOKEN_PATTERN)
+
+    def shingles(text):
+        toks = pat.findall(text)
+        if len(toks) < 3:
+            return set(toks)
+        return {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    rows = tbl.to_pylist()
+    want = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            A, B = shingles(rows[i]["text"]), shingles(rows[j]["text"])
+            jac = len(A & B) / len(A | B) if A | B else 1.0
+            if jac >= 0.5:
+                a, b = sorted((rows[i]["doc_id"], rows[j]["doc_id"]))
+                want[(a, b)] = jac
+    assert set(got_pairs) == set(want)
+    for k in want:
+        assert got_pairs[k] == pytest.approx(want[k], abs=1e-12), k

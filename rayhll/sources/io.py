@@ -48,3 +48,25 @@ def refinalize_estimates(
         idx = table.schema.get_field_index(estimate_col)
         return table.set_column(idx, estimate_col, arr)
     return table.append_column(estimate_col, arr)
+
+
+def read_table(path: str, columns: list[str] | None = None, **kwargs):
+    """Format-dispatching Dataset reader: ``.parquet`` (column-pruned at the
+    read — pass ``columns``), ``.csv``, ``.json``/``.jsonl`` (one object per
+    line).  Non-parquet formats cannot prune at the read; the projection is
+    applied as a first ``select_columns`` so downstream stages see one
+    schema regardless of source format."""
+    import ray.data as rd
+
+    lower = path.lower()
+    if lower.endswith(".parquet") or lower.endswith(".pq"):
+        return rd.read_parquet(path, columns=columns, **kwargs)
+    if lower.endswith(".csv"):
+        ds = rd.read_csv(path, **kwargs)
+    elif lower.endswith(".json") or lower.endswith(".jsonl"):
+        ds = rd.read_json(path, **kwargs)
+    else:
+        raise ValueError(f"unsupported source format: {path!r}")
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds

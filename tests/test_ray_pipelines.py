@@ -644,3 +644,65 @@ def test_ngram_jaccard_exact_pairs(ray_session):
     assert set(got_pairs) == set(want)
     for k in want:
         assert got_pairs[k] == pytest.approx(want[k], abs=1e-12), k
+
+
+def test_read_table_format_dispatch(ray_session, tmp_path):
+    """The same documents data through parquet / csv / jsonl sources yields
+    identical pipeline results (format-agnostic engine surface)."""
+    import duckdb as ddb
+    import ray.data as rd
+
+    from rayhll import ray_agg
+    from rayhll.sources.io import read_table
+
+    src = f"{SF}/documents.parquet"
+    sub = ddb.sql(f"SELECT doc_id, lang, text FROM read_parquet('{src}')").arrow()
+    import pyarrow.csv as pcsv
+    import pyarrow.parquet as pq
+
+    pq.write_table(sub, str(tmp_path / "docs.parquet"))
+    pcsv.write_csv(sub, str(tmp_path / "docs.csv"))
+    sub.to_pandas().to_json(
+        str(tmp_path / "docs.jsonl"), orient="records", lines=True
+    )
+
+    outs = {}
+    for name in ("docs.parquet", "docs.csv", "docs.jsonl"):
+        ds = read_table(str(tmp_path / name), columns=["lang", "text"])
+        outs[name] = (
+            ray_agg.grouped_approx_distinct(
+                ds, ["lang"], ["text"], settings=ray_agg.EXACT_MODE
+            )
+            .to_pandas()
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+    assert outs["docs.parquet"].equals(outs["docs.csv"])
+    assert outs["docs.parquet"].equals(outs["docs.jsonl"])
+
+    with pytest.raises(ValueError, match="unsupported source format"):
+        read_table("/tmp/x.avro")
+
+
+def test_flagship_global_empty_dataset(ray_session):
+    """flagship_global on an empty dataset returns a zero row, not a crash
+    (ADVICE r1: b'' partial blobs must finalize as EMPTY sketches)."""
+    import ray.data as rd
+
+    from rayhll.pipelines.distinct import flagship_global
+    from rayhll.sources.synth import code_table_from_documents
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "lang": pa.array([], type=pa.string()),
+            "source": pa.array([], type=pa.string()),
+            "text": pa.array([], type=pa.string()),
+        }
+    )
+    ds = rd.from_arrow(empty).map_batches(
+        code_table_from_documents, batch_format="pyarrow"
+    )
+    out = flagship_global(ds).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0].tolist() == [0, 0, 0, 0]

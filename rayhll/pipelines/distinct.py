@@ -148,7 +148,7 @@ def flagship_grouped(
     concurrency=None,
     include_sketches: bool = False,
     hash_content: bool = True,
-    premerge_batch: int | None = 262144,
+    premerge_batch: int | None = None,
 ):
     """Per-(repo, lang) distinct estimates for all three keys.
 
@@ -156,11 +156,13 @@ def flagship_grouped(
     est_distinct_path, est_distinct_repo_commit, rows_in`` (plus the three
     serialized sketch columns when ``include_sketches``).
 
-    ``premerge_batch``: size of the local combiner stage between build and
-    shuffle — partial rows sharing a group hash within each combiner batch
-    are merged before the sort, shrinking shuffle volume by roughly the
-    number of build outputs a combiner batch spans (large when #groups is
-    comparable to the build batch size).  ``None`` disables it."""
+    ``premerge_batch``: size of the optional local combiner stage between
+    build and shuffle — partial rows sharing a group hash within each
+    combiner batch merge before the sort, shrinking shuffle ROWS ~2.6× when
+    #groups ≈ build batch size (measured, PERF_NOTES #10) at a measured
+    ~15-18%% single-node CPU cost.  Default OFF: this sandbox's sort is
+    CPU-bound.  Turn ON (e.g. 262144) on real multi-node clusters where the
+    exchange is network-bound — there the byte reduction dominates."""
     if hash_content:
         ds = ds.map_batches(
             HashStage(), batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size

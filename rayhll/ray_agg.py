@@ -142,7 +142,7 @@ def grouped_approx_distinct(
     batch_size: int | None = 262144,
     concurrency=None,
     include_sketch: bool = False,
-    premerge_batch: int | None = 262144,
+    premerge_batch: int | None = None,
 ) -> "ray.data.Dataset":
     """Distinct-per-group dataset: ``group_cols... , estimate:int64``.
 
@@ -151,10 +151,11 @@ def grouped_approx_distinct(
     each reduce task merges thousands of groups vectorized and per-group
     Python overhead never dominates.  Skew is bounded twice: a hot group
     costs O(#blocks) fixed-size sketch rows, and hot buckets spread across
-    ``num_buckets`` reducers.  A local combiner (``premerge_batch``) merges
-    partial rows sharing a group hash before the sort — shrinking shuffle
-    volume further when #groups approaches the build batch size (measured
-    2.6x on the 56k-group bench corpus; PERF_NOTES #10)."""
+    ``num_buckets`` reducers.  An optional local combiner
+    (``premerge_batch``, default off) merges partial rows sharing a group
+    hash before the sort — 2.6x fewer shuffle rows when #groups approaches
+    the build batch size, at ~15-18%% single-node CPU cost; enable it on
+    network-bound clusters (PERF_NOTES #10-11)."""
     partials = build_partials(
         ds,
         key_cols,

@@ -81,3 +81,38 @@ def test_differential_union_soak(ref_hll, cfg):
     # round-trip through bytes preserves the union result exactly
     again = HLL.from_bytes(ours_a.to_bytes())
     assert again.to_bytes() == ref_a.to_bytes(), cfg
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_differential_create_for_testing_soak(ref_hll, seed):
+    """Arbitrary (explicit, sparse) threshold pairs via create_for_testing —
+    the configuration space of the sandbox-absent promotion/correction golden
+    suites (postgres replays use explicit=128/sparse=512, not the auto
+    values).  Byte-equal at every add checkpoint and after union."""
+    rng = random.Random(1000 + seed)
+    log2m = rng.randint(5, 13)
+    regwidth = rng.randint(2, 8)
+    explicit = rng.choice([1, 4, 128, 512])
+    sparse = rng.choice([16, 512, 850, 4096])
+    t = rng.choice([1, 2, 3, 4])  # EMPTY/EXPLICIT/SPARSE/FULL start type
+    if t == 2 and explicit == 0:
+        t = 1
+    ours = HLL.create_for_testing(log2m, regwidth, explicit, sparse, t)
+    ref = ref_hll.create_for_testing(log2m, regwidth, explicit, sparse, t)
+    n = rng.choice([3, 200, 1100])
+    for i in range(n):
+        v = rng.randint(-(2**63), 2**63 - 1)
+        ours.add_raw(v)
+        ref.add_raw(v)
+        if i % 97 == 0:
+            assert ours.to_bytes() == ref.to_bytes(), (log2m, regwidth, explicit, sparse, t, i)
+    o2 = HLL.create_for_testing(log2m, regwidth, explicit, sparse, t)
+    r2 = ref_hll.create_for_testing(log2m, regwidth, explicit, sparse, t)
+    for _ in range(60):
+        v = rng.randint(-(2**63), 2**63 - 1)
+        o2.add_raw(v)
+        r2.add_raw(v)
+    ours.union(o2)
+    ref.union(r2)
+    assert ours.to_bytes() == ref.to_bytes()
+    assert ours.cardinality() == ref.cardinality()

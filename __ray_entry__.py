@@ -205,6 +205,34 @@ def _q_hll_sketch_hex_by_lang(sf_dir: str):
     return merged.map_batches(hexify, batch_format="pyarrow")
 
 
+def _q_hll_sketch_hex_dump(sf_dir: str):
+    """The raw interop surface: storage-spec v1.0.0 sketch per lang as
+    postgres ``\\x``-hex (deterministic; rows-only — the hex bytes
+    themselves are pinned byte-exact by the golden corpus and the
+    round-trip gate in hll_sketch_hex_by_lang)."""
+    import pyarrow as pa
+
+    from rayhll import ray_agg
+    from rayhll.core import serde
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    merged = ray_agg.grouped_approx_distinct(
+        ds, ["lang"], ["text"], include_sketch=True
+    )
+
+    def hexify(batch: pa.Table) -> pa.Table:
+        hexes = [serde.to_pg_hex(b.as_py()) for b in batch.column(ray_agg.SKETCH_COL)]
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "sketch_hex": pa.array(hexes, type=pa.string()),
+                "estimate": batch.column(ray_agg.ESTIMATE_COL),
+            }
+        )
+
+    return merged.map_batches(hexify, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------------------
 # dedup / text / sketch-family / similarity queries
 
@@ -805,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_code_global": _q_flagship_code_global,
         "hll_estimate_text_probabilistic": _q_hll_estimate_text_probabilistic,
         "hll_sketch_hex_by_lang": _q_hll_sketch_hex_by_lang,
+        "hll_sketch_hex_dump": _q_hll_sketch_hex_dump,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "text_stats_documents": _q_text_stats_documents,
         "bloom_semijoin_lineitem_part": _q_bloom_semijoin_lineitem_part,

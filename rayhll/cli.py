@@ -100,6 +100,38 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    import ray.data as rd
+
+    from rayhll.pipelines import dedup
+
+    _ensure_ray(args.num_cpus)
+    ds = rd.read_parquet(
+        sorted(glob.glob(args.input)), columns=[args.id_col, args.text_col]
+    )
+    if args.mode == "exact":
+        out = dedup.exact_dedup_keep_ids(ds, args.text_col, args.id_col)
+    elif args.mode == "minhash":
+        out = dedup.minhash_lsh_pairs(
+            ds, args.text_col, args.id_col, threshold=args.threshold
+        )
+    elif args.mode == "simhash":
+        out = dedup.simhash_pairs(ds, args.text_col, args.id_col)
+    elif args.mode == "ngram":
+        out = dedup.ngram_jaccard_pairs(
+            ds, args.text_col, args.id_col, threshold=args.threshold
+        )
+    else:  # pragma: no cover - argparse choices guard
+        raise ValueError(args.mode)
+    if args.output:
+        out.write_parquet(args.output)
+        print(json.dumps({"rows": out.count(), "output": args.output}))
+    else:
+        for row in out.take_all():
+            print(json.dumps(row, default=str))
+    return 0
+
+
 def cmd_conformance(args) -> int:
     import subprocess
 
@@ -133,6 +165,18 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--expthresh", type=int, default=-1)
     d.add_argument("--num-cpus", type=int, default=None)
     d.set_defaults(fn=cmd_distinct)
+
+    dd = sub.add_parser("dedup", help="exact / near-duplicate detection")
+    dd.add_argument("--input", required=True, help="input parquet glob")
+    dd.add_argument(
+        "--mode", choices=("exact", "minhash", "simhash", "ngram"), default="exact"
+    )
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--threshold", type=float, default=0.8)
+    dd.add_argument("--output", default=None, help="parquet output dir")
+    dd.add_argument("--num-cpus", type=int, default=None)
+    dd.set_defaults(fn=cmd_dedup)
 
     pr = sub.add_parser("profile", help="per-column distinct profile")
     pr.add_argument("--input", required=True)

@@ -318,6 +318,32 @@ def _q_join_orders_customer_by_segment(sf_dir: str):
     return joined.groupby("c_mktsegment").map_groups(rollup, batch_format="pyarrow")
 
 
+def _q_asof_join_click_purchase(sf_dir: str):
+    """As-of join, ORACLE-GATED vs DuckDB's native ASOF LEFT JOIN: for each
+    click event, the same user's most recent purchase at-or-before it.
+    All output values are pass-through (no float arithmetic), so the hash
+    gate is exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rayhll.functions.join import asof_join
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def clicks(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch.column("event_type"), "click"))
+        return sub.drop_columns(["event_type"])
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        sub = sub.drop_columns(["event_type"])
+        return sub.append_column("purchase_ts", sub.column("ts"))
+
+    left = ds.map_batches(clicks, batch_format="pyarrow", zero_copy_batch=True)
+    right = ds.map_batches(purchases, batch_format="pyarrow", zero_copy_batch=True)
+    return asof_join(left, right, on="ts", by="user_id")
+
+
 def _q_countmin_event_type_counts(sf_dir: str):
     import duckdb
     import pyarrow as pa
@@ -838,6 +864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats_documents": _q_text_stats_documents,
         "bloom_semijoin_lineitem_part": _q_bloom_semijoin_lineitem_part,
         "join_orders_customer_by_segment": _q_join_orders_customer_by_segment,
+        "asof_join_click_purchase": _q_asof_join_click_purchase,
         "countmin_event_type_counts": _q_countmin_event_type_counts,
         "tdigest_price_quantiles": _q_tdigest_price_quantiles,
         "kll_event_value_quantiles": _q_kll_event_value_quantiles,
@@ -907,6 +934,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c_mktsegment"
+        ),
+        "asof_join_click_purchase": (
+            "SELECT c.ts, c.user_id, p.purchase_ts "
+            "FROM (SELECT ts, user_id FROM events WHERE event_type = 'click') c "
+            "ASOF LEFT JOIN (SELECT ts, user_id, ts AS purchase_ts FROM events "
+            "WHERE event_type = 'purchase') p "
+            "ON c.user_id = p.user_id AND c.ts >= p.ts"
         ),
         "countmin_event_type_counts": (
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_count "

@@ -128,3 +128,105 @@ def bucket_equi_join(
         .groupby(_BUCKET_COL)
         .map_groups(join_bucket, batch_format="pyarrow")
     )
+
+
+def asof_join(
+    left,
+    right,
+    on: str,
+    by: list[str] | str,
+    strategy: str = "backward",
+    num_buckets: int = 64,
+    suffix: str = "_right",
+    tolerance=None,
+):
+    """As-of join: each left row is matched to the right row with the same
+    ``by`` keys and the nearest ``on`` value at-or-before it (``backward``,
+    the default), at-or-after (``forward``), or closest (``nearest``) —
+    the time-series join Ray Data lacks (custom-operator case (a) of the
+    build instructions: map_batches + groupby + in-bucket kernel).
+
+    Left rows without a match keep nulls (left-join semantics, matching
+    DuckDB's ``ASOF LEFT JOIN``).  ``on`` must exist in BOTH sides with a
+    comparable type; right non-key columns colliding with left names get
+    ``suffix``.  Partitioning assumption: all rows of one ``by``-hash
+    bucket fit in one reduce task (same contract as session windows);
+    raise ``num_buckets`` to shrink buckets.
+    """
+    if isinstance(by, str):
+        by = [by]
+    if strategy not in ("backward", "forward", "nearest"):
+        raise ValueError(f"strategy={strategy!r}")
+
+    left_schema = left.schema()
+    right_schema = right.schema()
+    for k in [*by, on]:
+        if k not in left_schema.names or k not in right_schema.names:
+            raise ValueError(f"as-of column {k!r} missing from a side")
+    left_fields = list(zip(left_schema.names, left_schema.types))
+    right_out: list[tuple[str, str, object]] = []
+    for name, typ in zip(right_schema.names, right_schema.types):
+        if name in by or name == on:
+            continue
+        dst = name + suffix if name in left_schema.names else name
+        right_out.append((name, dst, typ))
+    unified = left_fields + [(dst, typ) for _, dst, typ in right_out]
+
+    def pad(tbl: pa.Table, is_right: bool) -> pa.Table:
+        n = len(tbl)
+        cols: dict[str, object] = {}
+        for name, typ in unified:
+            if not is_right and name in tbl.column_names:
+                cols[name] = tbl.column(name).cast(typ)
+            elif is_right:
+                src = None
+                if name in by or name == on:
+                    src = name
+                else:
+                    for s, d, _ in right_out:
+                        if d == name and s in tbl.column_names:
+                            src = s
+                            break
+                cols[name] = (
+                    tbl.column(src).cast(typ) if src is not None else pa.nulls(n, type=typ)
+                )
+            else:
+                cols[name] = pa.nulls(n, type=typ)
+        out = pa.table(cols)
+        h = hash64_table(out, by, seed=0xA50F)
+        out = out.append_column(
+            _BUCKET_COL,
+            pa.array((h.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)),
+        )
+        return out.append_column(_SIDE_COL, pa.array(np.full(n, is_right, dtype=bool)))
+
+    tagged_left = left.map_batches(
+        lambda t: pad(t, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    tagged_right = right.map_batches(
+        lambda t: pad(t, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    left_names = [n for n, _ in left_fields]
+    right_names = [d for _, d, _ in right_out]
+
+    def join_bucket(tbl: pa.Table) -> pa.Table:
+        import warnings
+
+        df = pl.from_arrow(tbl)
+        lhs = df.filter(~pl.col(_SIDE_COL)).select(left_names).sort(on)
+        rhs = df.filter(pl.col(_SIDE_COL)).select([*by, on, *right_names]).sort(on)
+        with warnings.catch_warnings():
+            # both frames ARE sorted on `on` (two lines up); polars just
+            # can't verify per-`by`-group sortedness and warns
+            warnings.simplefilter("ignore", UserWarning)
+            out = lhs.join_asof(
+                rhs, on=on, by=by, strategy=strategy, tolerance=tolerance
+            )
+        return out.select(left_names + right_names).to_arrow()
+
+    return (
+        tagged_left.union(tagged_right)
+        .groupby(_BUCKET_COL)
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )

@@ -91,3 +91,53 @@ def test_bucket_equi_join_name_collision_and_duplicates(ray_session):
     assert sorted(out.columns) == ["k", "v", "v_right"]
     assert len(out) == 2 * 2 + 1  # k=1 cross product (2x2) + k=2
     assert set(out[out.k == 1]["v_right"]) == {"x", "y"}
+
+
+def test_asof_join_matches_duckdb(ray_session):
+    """asof_join vs DuckDB ASOF LEFT JOIN: for each click, the most recent
+    purchase at-or-before it per user."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from rayhll.functions.join import asof_join
+
+    ev = f"{SF}/events.parquet"
+
+    def side(etype, value_name):
+        return (
+            rd.read_parquet(ev, columns=["ts", "user_id", "event_type"])
+            .map_batches(
+                lambda t, e=etype, v=value_name: t.filter(
+                    pc.equal(t.column("event_type"), e)
+                )
+                .drop_columns(["event_type"])
+                .rename_columns(["ts", "user_id"]),
+                batch_format="pyarrow",
+            )
+        )
+
+    clicks = side("click", None)
+    purchases = (
+        rd.read_parquet(ev, columns=["ts", "user_id", "event_type"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("event_type"), "purchase"))
+            .drop_columns(["event_type"])
+            .append_column("purchase_ts", t.filter(
+                pc.equal(t.column("event_type"), "purchase")).column("ts")),
+            batch_format="pyarrow",
+        )
+    )
+    got = asof_join(clicks, purchases, on="ts", by="user_id").to_pandas()
+    want = duckdb.sql(
+        "SELECT c.ts, c.user_id, p.purchase_ts FROM "
+        f"(SELECT ts, user_id FROM read_parquet('{ev}') WHERE event_type='click') c "
+        "ASOF LEFT JOIN "
+        f"(SELECT ts, user_id, ts AS purchase_ts FROM read_parquet('{ev}') "
+        "WHERE event_type='purchase') p "
+        "ON c.user_id = p.user_id AND c.ts >= p.ts"
+    ).df()
+    cols = ["user_id", "ts", "purchase_ts"]
+    assert sorted(got.columns) == sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)

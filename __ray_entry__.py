@@ -344,6 +344,30 @@ def _q_asof_join_click_purchase(sf_dir: str):
     return asof_join(left, right, on="ts", by="user_id")
 
 
+def _q_range_join_events_windows(sf_dir: str):
+    """Range (interval) join, ORACLE-GATED: each event joined to the hour
+    windows of its event type that contain its timestamp (window table
+    derived deterministically, mirrored in the oracle SQL).  Exercises
+    functions/join.range_join end-to-end with pass-through values."""
+    import duckdb
+    import ray.data as rd
+
+    from rayhll.functions.join import range_join
+
+    ev = os.path.join(sf_dir, "events.parquet")
+    win_tbl = duckdb.sql(
+        "SELECT DISTINCT event_type, date_trunc('hour', ts) AS win_start, "
+        "date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end "
+        f"FROM read_parquet('{ev}')"
+    ).arrow()
+    left = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+    wins = rd.from_arrow(win_tbl)
+    out = range_join(
+        left, wins, by="event_type", on="ts", lo="win_start", hi="win_end"
+    )
+    return out.select_columns(["ts", "user_id", "event_type", "win_start"])
+
+
 def _q_countmin_event_type_counts(sf_dir: str):
     import duckdb
     import pyarrow as pa
@@ -865,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin_lineitem_part": _q_bloom_semijoin_lineitem_part,
         "join_orders_customer_by_segment": _q_join_orders_customer_by_segment,
         "asof_join_click_purchase": _q_asof_join_click_purchase,
+        "range_join_events_windows": _q_range_join_events_windows,
         "countmin_event_type_counts": _q_countmin_event_type_counts,
         "tdigest_price_quantiles": _q_tdigest_price_quantiles,
         "kll_event_value_quantiles": _q_kll_event_value_quantiles,
@@ -934,6 +959,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c_mktsegment"
+        ),
+        "range_join_events_windows": (
+            "WITH w AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS win_start, "
+            "date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end FROM events) "
+            "SELECT e.ts, e.user_id, e.event_type, w.win_start FROM events e "
+            "JOIN w ON e.event_type = w.event_type "
+            "AND e.ts BETWEEN w.win_start AND w.win_end"
         ),
         "asof_join_click_purchase": (
             "SELECT c.ts, c.user_id, p.purchase_ts "

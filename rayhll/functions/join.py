@@ -130,6 +130,100 @@ def bucket_equi_join(
     )
 
 
+def range_join(
+    left,
+    right,
+    by: list[str] | str,
+    on: str,
+    lo: str,
+    hi: str,
+    num_buckets: int = 64,
+    suffix: str = "_right",
+):
+    """Range (interval) join: left row matches right rows with equal ``by``
+    keys and ``right[lo] <= left[on] <= right[hi]`` — inner-join semantics,
+    the third of the custom-operator trio (as-of / range / windowed).
+
+    Same bucketing scaffold as :func:`bucket_equi_join`; within a bucket the
+    inequality join runs via polars ``join_where``.  A key whose intervals
+    overlap many rows produces the true cross product (inherent to range
+    joins) — bound interval width or pre-bucket time ranges for hot keys.
+    Partitioning assumption: one ``by``-hash bucket per reduce task."""
+    if isinstance(by, str):
+        by = [by]
+    left_schema = left.schema()
+    right_schema = right.schema()
+    for k in [*by, on]:
+        if k not in left_schema.names:
+            raise ValueError(f"column {k!r} missing from left")
+    for k in [*by, lo, hi]:
+        if k not in right_schema.names:
+            raise ValueError(f"column {k!r} missing from right")
+    left_fields = list(zip(left_schema.names, left_schema.types))
+    right_out: list[tuple[str, str, object]] = []
+    for name, typ in zip(right_schema.names, right_schema.types):
+        if name in by:
+            continue
+        dst = name + suffix if name in left_schema.names else name
+        right_out.append((name, dst, typ))
+    unified = left_fields + [(dst, typ) for _, dst, typ in right_out]
+    lo_dst = lo + suffix if lo in left_schema.names else lo
+    hi_dst = hi + suffix if hi in left_schema.names else hi
+
+    def pad(tbl: pa.Table, is_right: bool) -> pa.Table:
+        n = len(tbl)
+        cols: dict[str, object] = {}
+        for name, typ in unified:
+            if not is_right and name in tbl.column_names:
+                cols[name] = tbl.column(name).cast(typ)
+            elif is_right:
+                src = None
+                if name in by:
+                    src = name
+                else:
+                    for s, d, _ in right_out:
+                        if d == name and s in tbl.column_names:
+                            src = s
+                            break
+                cols[name] = (
+                    tbl.column(src).cast(typ) if src is not None else pa.nulls(n, type=typ)
+                )
+            else:
+                cols[name] = pa.nulls(n, type=typ)
+        out = pa.table(cols)
+        h = hash64_table(out, by, seed=0x7A27)
+        out = out.append_column(
+            _BUCKET_COL,
+            pa.array((h.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)),
+        )
+        return out.append_column(_SIDE_COL, pa.array(np.full(n, is_right, dtype=bool)))
+
+    tagged_left = left.map_batches(
+        lambda t: pad(t, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    tagged_right = right.map_batches(
+        lambda t: pad(t, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    left_names = [n for n, _ in left_fields]
+    right_names = [d for _, d, _ in right_out]
+
+    def join_bucket(tbl: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tbl)
+        lhs = df.filter(~pl.col(_SIDE_COL)).select(left_names)
+        rhs = df.filter(pl.col(_SIDE_COL)).select([*by, *right_names])
+        preds = [pl.col(b) == pl.col(f"{b}{suffix}") for b in by]
+        preds += [pl.col(on) >= pl.col(lo_dst), pl.col(on) <= pl.col(hi_dst)]
+        out = lhs.join_where(rhs, *preds, suffix=suffix)
+        return out.select(left_names + right_names).to_arrow()
+
+    return (
+        tagged_left.union(tagged_right)
+        .groupby(_BUCKET_COL)
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
+
+
 def asof_join(
     left,
     right,

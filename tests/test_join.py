@@ -141,3 +141,67 @@ def test_asof_join_matches_duckdb(ray_session):
     g = got[cols].sort_values(cols).reset_index(drop=True)
     w = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_range_join_matches_duckdb(ray_session):
+    """range_join vs a DuckDB range predicate: events joined to synthetic
+    per-user time windows containing their ts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions.join import range_join
+
+    ev = f"{SF}/events.parquet"
+    base = np.datetime64(
+        duckdb.sql(f"SELECT MIN(ts) FROM read_parquet('{ev}')").fetchone()[0], "us"
+    )
+    # deterministic window table: per user_id bucket, 3 windows of 2h
+    users = duckdb.sql(
+        f"SELECT DISTINCT user_id % 50 AS ukey FROM read_parquet('{ev}')"
+    ).df()["ukey"].to_numpy()
+    rows = []
+    for u in users:
+        for w in range(3):
+            start = base + np.timedelta64(int(u % 7 + w * 8), "h")
+            rows.append(
+                {
+                    "ukey": int(u),
+                    "win_start": start,
+                    "win_end": start + np.timedelta64(2, "h"),
+                    "win_id": int(u) * 10 + w,
+                }
+            )
+    win_tbl = pa.Table.from_pylist(rows)
+    import pyarrow.compute as pc
+
+    evds = rd.read_parquet(ev, columns=["ts", "user_id", "event_type"]).map_batches(
+        lambda t: t.append_column(
+            "ukey",
+            pc.cast(
+                pc.subtract(
+                    t.column("user_id"),
+                    pc.multiply(pc.divide(t.column("user_id"), 50), 50),
+                ),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    wins = rd.from_arrow(win_tbl)
+    got = range_join(
+        evds, wins, by="ukey", on="ts", lo="win_start", hi="win_end"
+    ).to_pandas()
+    duckdb.register("win_tbl", win_tbl.to_pandas())
+    want = duckdb.sql(
+        "SELECT e.ts, e.user_id, e.event_type, e.user_id % 50 AS ukey, "
+        "w.win_start, w.win_end, w.win_id "
+        f"FROM read_parquet('{ev}') e JOIN win_tbl w "
+        "ON e.user_id % 50 = w.ukey AND e.ts BETWEEN w.win_start AND w.win_end"
+    ).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert len(g) == len(w) and len(g) > 0
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)

@@ -622,8 +622,15 @@ class SimHashStage:
         return out
 
 
-def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3):
-    """Near-duplicate pairs by SimHash hamming distance <= max_hamming."""
+def simhash_pairs(
+    ds, text_col: str, id_col: str, max_hamming: int = 3, max_bucket_size: int = 4096
+):
+    """Near-duplicate pairs by SimHash hamming distance <= max_hamming.
+
+    Chunk buckets larger than ``max_bucket_size`` are skipped (same
+    degenerate-content contract as the MinHash and embedding paths: a
+    bucket that large means near-identical content en masse, which exact
+    dedup handles; verifying it would be O(b²) pairs)."""
     stage = SimHashStage(text_col, id_col)
     signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -649,7 +656,7 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3):
         df = pl.from_arrow(tbl)
         a_ids, b_ids, dist = [], [], []
         for _, grp in df.group_by("chunk_key"):
-            if len(grp) < 2:
+            if len(grp) < 2 or len(grp) > max_bucket_size:
                 continue
             ids = grp[id_col].to_numpy()
             sims = grp["simhash64"].to_numpy().astype(np.int64).view(np.uint64)

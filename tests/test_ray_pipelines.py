@@ -706,3 +706,22 @@ def test_flagship_global_empty_dataset(ray_session):
     out = flagship_global(ds).to_pandas()
     assert len(out) == 1
     assert out.iloc[0].tolist() == [0, 0, 0, 0]
+
+
+def test_simhash_degenerate_bucket_capped(ray_session):
+    """A mass of identical docs (one chunk bucket of 20k members) is skipped
+    instead of producing O(b^2) pairs; distinct near-dups still pair."""
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import simhash_pairs
+
+    n_degen = 20_000
+    rows = [{"doc_id": i, "text": "identical degenerate document body"} for i in range(n_degen)]
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows.append({"doc_id": 100_000, "text": base})
+    rows.append({"doc_id": 100_001, "text": base})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(8)
+    pairs = simhash_pairs(ds, "text", "doc_id", max_bucket_size=4096).to_pandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (100_000, 100_001) in got
+    assert not any(a < n_degen and b < n_degen for a, b in got)

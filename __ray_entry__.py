@@ -782,6 +782,53 @@ def _q_tdigest_price_by_returnflag(sf_dir: str):
     )
 
 
+def _q_window_tdigest_value_p50(sf_dir: str):
+    """Hourly t-digest median of events.value via the windowed family
+    aggregate, ORACLE-GATED: exact per-window row counts plus a per-window
+    rank-error bound |cdf(p50_est) - 0.5| <= max(0.02, 2.5/n) — the 1/n
+    term is the interpolated-median rank granularity of tiny windows
+    (driver windows hold as few as 4 events; measured err*n <= 1.5).
+    Checked in one DuckDB pass; oracle = per-window (n, TRUE)."""
+    import duckdb
+    import pyarrow as pa
+
+    from rayhll.pipelines import windows
+    from rayhll.sketches.tdigest import TDigest
+
+    def build(sub: pa.Table) -> bytes:
+        td = TDigest(200)
+        td.add_batch(sub.column("value").to_numpy())
+        return td.to_bytes()
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    out = windows.tumbling_window_family(
+        ds,
+        "ts",
+        build,
+        TDigest,
+        finalize=lambda td: {"p50": td.quantile(0.5), "n": int(td.total_weight)},
+    ).take_all()
+    est_tbl = pa.table(
+        {
+            "window_start": pa.array([r["window_start"] for r in out]),
+            "p50": pa.array([r["p50"] for r in out], type=pa.float64()),
+            "n": pa.array([r["n"] for r in out], type=pa.int64()),
+        }
+    )
+    ev = os.path.join(sf_dir, "events.parquet")
+    con = duckdb.connect()
+    con.register("est", est_tbl)
+    checked = con.execute(
+        "SELECT e2.window_start, est.n, "
+        "ABS(COUNT(*) FILTER (e2.value <= est.p50) * 1.0 / COUNT(*) - 0.5) "
+        "<= GREATEST(0.02, 2.5 / est.n) AS p50_within_tol FROM "
+        f"(SELECT date_trunc('hour', ts) AS window_start, value FROM read_parquet('{ev}')) e2 "
+        "JOIN est ON e2.window_start = est.window_start "
+        "GROUP BY e2.window_start, est.n"
+    ).arrow()
+    return checked
+
+
 def _q_heavy_hitters_event_type(sf_dir: str):
     from rayhll.pipelines import windows
 
@@ -907,6 +954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling_distinct_users": _q_window_tumbling_distinct_users,
         "window_sliding_distinct_users": _q_window_sliding_distinct_users,
         "session_windows_events": _q_session_windows_events,
+        "window_tdigest_value_p50": _q_window_tdigest_value_p50,
         "heavy_hitters_event_type": _q_heavy_hitters_event_type,
         "tdigest_price_by_returnflag": _q_tdigest_price_by_returnflag,
         "profile_lineitem_columns": _q_profile_lineitem_columns,
@@ -1001,6 +1049,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER "
             "(PARTITION BY user_id ORDER BY ts) > INTERVAL 1 HOUR THEN 1 ELSE 0 END "
             "AS new_sess FROM events)) GROUP BY user_id, sid"
+        ),
+        "window_tdigest_value_p50": (
+            "SELECT date_trunc('hour', ts) AS window_start, "
+            "CAST(COUNT(*) AS BIGINT) AS n, TRUE AS p50_within_tol "
+            "FROM events GROUP BY 1"
         ),
         "heavy_hitters_event_type": (
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_count FROM events "

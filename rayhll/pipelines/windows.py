@@ -92,6 +92,38 @@ def sliding_window_distinct(
     )
 
 
+def tumbling_window_family(
+    ds,
+    ts_col: str,
+    build,
+    family_cls,
+    size_us: int = US_PER_HOUR,
+    finalize=None,
+    extra_group_cols: list[str] | tuple[str, ...] = (),
+):
+    """Windowed aggregate for ANY sketch family (t-digest quantiles per
+    hour, count-min per window, ...): vectorized window assignment →
+    :func:`rayhll.ray_agg.grouped_aggregate_family` with the window start
+    (plus ``extra_group_cols``) as the group key.  Same shuffle contract as
+    the distinct windows: one family blob per (block, window) crosses the
+    exchange, never events."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ws = _window_start_us(batch.column(ts_col), size_us)
+        return batch.append_column(
+            "window_start", pa.array(ws, type=pa.int64()).cast(pa.timestamp("us"))
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return ray_agg.grouped_aggregate_family(
+        assigned,
+        ["window_start", *extra_group_cols],
+        build,
+        family_cls,
+        finalize=finalize,
+    )
+
+
 def session_windows(
     ds,
     ts_col: str,

@@ -128,3 +128,51 @@ def test_grouped_tdigest_quantiles(ray_session):
     assert got["n"].tolist() == want["n"].tolist()
     rel = (got["p50"] - want["p50"]).abs() / want["p50"]
     assert rel.max() < 0.02
+
+
+def test_tumbling_window_family_tdigest(ray_session):
+    """Windowed family aggregate: hourly t-digest medians land within the
+    interpolated-median rank granularity of each window's exact CDF."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.pipelines import windows
+    from rayhll.sketches.tdigest import TDigest
+
+    ev = "/root/testdata/sf0.001/events.parquet"
+
+    def build(sub: pa.Table) -> bytes:
+        td = TDigest(200)
+        td.add_batch(sub.column("value").to_numpy())
+        return td.to_bytes()
+
+    ds = rd.read_parquet(ev, columns=["ts", "value"])
+    out = windows.tumbling_window_family(
+        ds,
+        "ts",
+        build,
+        TDigest,
+        finalize=lambda td: {"p50": td.quantile(0.5), "n": int(td.total_weight)},
+    ).take_all()
+    assert len(out) > 100
+    est = pa.table(
+        {
+            "window_start": [r["window_start"] for r in out],
+            "p50": pa.array([r["p50"] for r in out], type=pa.float64()),
+            "n": pa.array([r["n"] for r in out], type=pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("est", est)
+    df = con.execute(
+        "SELECT est.n, ABS(COUNT(*) FILTER (e2.value <= est.p50) * 1.0 / COUNT(*) - 0.5) AS err "
+        f"FROM (SELECT date_trunc('hour', ts) AS window_start, value FROM read_parquet('{ev}')) e2 "
+        "JOIN est USING (window_start) GROUP BY est.n, est.window_start"
+    ).df()
+    assert ((df.err <= (2.5 / df.n).clip(lower=0.02)) | (df.n == 1)).all()
+    # window row counts are exact
+    exact_n = duckdb.sql(
+        f"SELECT COUNT(*) c FROM read_parquet('{ev}') GROUP BY date_trunc('hour', ts)"
+    ).df()["c"].sum()
+    assert sum(r["n"] for r in out) == exact_n

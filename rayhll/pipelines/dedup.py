@@ -464,6 +464,110 @@ def _minhash_lsh_pairs_join(
     return joined.map_batches(verify, batch_format="pyarrow")
 
 
+def _embedding_near_dup_pairs_join(
+    signed, id_col, threshold, num_tables, max_bucket_size, verify_block
+):
+    """Wide-embedding scale variant (see embedding_near_dup_pairs): id-only
+    candidate generation, pair-joined vector verify."""
+    from rayhll.functions.join import bucket_equi_join
+
+    vecs = signed.select_columns([id_col, "norm_vec"]).materialize()
+
+    def explode_ids(batch: pa.Table) -> pa.Table:
+        parts = []
+        for t in range(num_tables):
+            sig = batch.column(f"sig_{t}").to_numpy()
+            parts.append(
+                pa.table(
+                    {
+                        "sig": batch.column(f"sig_{t}"),
+                        "bkt": pa.array(
+                            (sig.view(np.uint64) % np.uint64(64)).astype(np.int64),
+                            type=pa.int64(),
+                        ),
+                        id_col: batch.column(id_col),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    exploded = signed.map_batches(explode_ids, batch_format="pyarrow")
+
+    def candidate_pairs(tbl: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tbl)
+        a_ids, b_ids = [], []
+        for _, grp in df.group_by("sig"):
+            if len(grp) < 2:
+                continue
+            ids = np.unique(grp[id_col].to_numpy())
+            if len(ids) < 2 or len(ids) > max_bucket_size:
+                continue
+            iu = np.triu_indices(len(ids), k=1)
+            a_ids.append(ids[iu[0]])
+            b_ids.append(ids[iu[1]])
+        if not a_ids:
+            return pa.table(
+                {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(a_ids), type=pa.int64()),
+                "id_b": pa.array(np.concatenate(b_ids), type=pa.int64()),
+            }
+        )
+
+    def dedup_cand(tbl: pa.Table) -> pa.Table:
+        return pl.from_arrow(tbl).unique(subset=["id_a", "id_b"]).to_arrow()
+
+    cand = (
+        exploded.groupby("bkt")
+        .map_groups(candidate_pairs, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column(
+                "pbkt",
+                pa.array((t.column("id_a").to_numpy() % 64).astype(np.int64), type=pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("pbkt")
+        .map_groups(dedup_cand, batch_format="pyarrow")
+        .drop_columns(["pbkt"])
+    )
+
+    def renamed(dst):
+        return vecs.map_batches(
+            lambda t, d=dst: t.rename_columns([d, f"vec_{d}"]), batch_format="pyarrow"
+        )
+
+    joined = bucket_equi_join(cand, renamed("id_a"), on="id_a", how="inner")
+    joined = bucket_equi_join(joined, renamed("id_b"), on="id_b", how="inner")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        from rayhll.pipelines.similarity import _vec_matrix
+
+        va = _vec_matrix(batch, "vec_id_a")
+        vb = _vec_matrix(batch, "vec_id_b")
+        cos = np.einsum("ij,ij->i", va, vb)
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").filter(pa.array(keep)),
+                "id_b": batch.column("id_b").filter(pa.array(keep)),
+                "cosine": pa.array(cos[keep], type=pa.float64()),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------------------
 # exact n-gram Jaccard near-dup (LSH candidates + exact set verify)
 
@@ -785,6 +889,7 @@ def embedding_near_dup_pairs(
     num_tables: int = 4,
     max_bucket_size: int = 4096,
     verify_block: int = 1024,
+    carry_vectors: bool = True,
 ):
     """Pairs with cosine similarity >= threshold via multi-table
     hyperplane-LSH buckets and chunked exact-cosine verification.
@@ -798,13 +903,20 @@ def embedding_near_dup_pairs(
       (O(block × b) peak memory), never materializing a b×b matrix.
     * recall comes from ``num_tables`` independent plane sets (band-style
       repetition); granularity from ``num_planes`` (2^planes buckets/table).
-    * the shuffle carries (sig, id, normalized vector) — num_tables× the
-      vector volume.  For very wide embeddings prefer fewer tables + more
-      planes, or the MinHash-style signature-store join shape
-      (:func:`_minhash_lsh_pairs_join`) with vectors in parquet.
+    * ``carry_vectors=True`` (default) ships each normalized vector inside
+      its table rows — num_tables× the vector volume through the shuffle.
+      ``carry_vectors=False`` is the wide-embedding 100 TB shape: table
+      rows carry only (sig, id), candidate pairs are generated unverified
+      within buckets, and the two normalized vectors are joined back per
+      PAIR (bucketed equi-join) for a vectorized cosine verify — shuffle
+      volume drops from num_tables×vectors to 2×candidate-pairs.
     """
     stage = HyperplaneStage(vec_col, id_col, dim, num_planes, num_tables)
     signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    if not carry_vectors:
+        return _embedding_near_dup_pairs_join(
+            signed, id_col, threshold, num_tables, max_bucket_size, verify_block
+        )
 
     def explode_tables(batch: pa.Table) -> pa.Table:
         parts = []

@@ -725,3 +725,34 @@ def test_simhash_degenerate_bucket_capped(ray_session):
     got = set(zip(pairs.id_a, pairs.id_b))
     assert (100_000, 100_001) in got
     assert not any(a < n_degen and b < n_degen for a, b in got)
+
+
+def test_embedding_near_dup_join_variant_matches(ray_session):
+    """The wide-embedding scale variant (id-only candidates + pair-joined
+    vector verify) finds the same pairs as the carry-vectors variant."""
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import embedding_near_dup_pairs
+
+    base = _emb_table(np.arange(500, dtype=np.uint64))
+    mat = np.asarray(base.column("embedding").combine_chunks().flatten()).reshape(500, 8)
+    near = mat[:20] + 0.001
+    n, d = near.shape
+    extra = pa.table(
+        {
+            "vec_id": pa.array(np.arange(20, dtype=np.int64) + 10_000),
+            "embedding": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32), type=pa.int32()),
+                pa.array(near.ravel(), type=pa.float64()),
+            ),
+        }
+    )
+    ds = rd.from_arrow(pa.concat_tables([base, extra])).repartition(4)
+    kw = dict(dim=8, threshold=0.99)
+    a = embedding_near_dup_pairs(ds, "embedding", "vec_id", **kw).to_pandas()
+    b = embedding_near_dup_pairs(
+        ds, "embedding", "vec_id", carry_vectors=False, **kw
+    ).to_pandas()
+    ka = sorted(zip(a.id_a, a.id_b, a.cosine.round(12)))
+    kb = sorted(zip(b.id_a, b.id_b, b.cosine.round(12)))
+    assert ka == kb and len(ka) == 20

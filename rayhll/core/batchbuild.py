@@ -46,15 +46,38 @@ def _explicit_header(settings: HllSettings) -> bytes:
 
 
 def build_grouped_sketches(
-    settings: HllSettings, codes: np.ndarray, raws: np.ndarray
+    settings: HllSettings,
+    codes: np.ndarray,
+    raws: np.ndarray,
+    valid: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, list[bytes]]:
     """Build one serialized sketch per distinct group code.
 
     :param codes: int group codes, one per row (any integer dtype).
     :param raws: pre-hashed signed int64 values, one per row.
+    :param valid: optional bool mask — rows where it is False keep their
+        group membership (first_idx / counts) but contribute NO value to the
+        group's sketch (SQL ``COUNT(DISTINCT col)`` ignores NULLs); a group
+        with no valid rows gets an EMPTY sketch.
     :returns: (unique codes ascending, first row index of each code in the
         ORIGINAL array, row count per code, serialized sketch per code).
     """
+    if valid is not None and not valid.all():
+        codes = np.ascontiguousarray(codes)
+        # group stats over ALL rows
+        all_uniq, inv = np.unique(codes, return_inverse=True)
+        first_idx = np.full(len(all_uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first_idx, inv, np.arange(len(codes), dtype=np.int64))
+        counts = np.bincount(inv, minlength=len(all_uniq)).astype(np.int64)
+        # sketch contents over valid rows only
+        out: list[bytes] = [HllSketch(settings).to_bytes()] * len(all_uniq)
+        if valid.any():
+            v_uniq, _, _, v_out = build_grouped_sketches(
+                settings, codes[valid], np.ascontiguousarray(raws)[valid]
+            )
+            for p, blob in zip(np.searchsorted(all_uniq, v_uniq).tolist(), v_out):
+                out[p] = blob
+        return all_uniq, first_idx, counts, out
     codes = np.ascontiguousarray(codes)
     raws = np.ascontiguousarray(raws, dtype=np.int64)
     order = np.lexsort((raws, codes))

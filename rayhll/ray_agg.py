@@ -59,13 +59,18 @@ def build_partials(
     hash_method: str = "fast",
     batch_size: int | None = 262144,
     concurrency=None,
+    ignore_nulls: bool = True,
 ) -> "ray.data.Dataset":
-    """Collapse input rows to partial-sketch rows (see stages.build)."""
+    """Collapse input rows to partial-sketch rows (see stages.build).
+
+    ``ignore_nulls`` (default, SQL semantics): rows whose key tuple contains
+    a NULL contribute nothing to the distinct count."""
     fn_args = dict(
         key_cols=key_cols,
         group_cols=group_cols,
         settings=settings,
         hash_method=hash_method,
+        ignore_nulls=ignore_nulls,
     )
     kwargs = dict(
         batch_format="pyarrow",
@@ -143,6 +148,7 @@ def grouped_approx_distinct(
     concurrency=None,
     include_sketch: bool = False,
     premerge_batch: int | None = None,
+    ignore_nulls: bool = True,
 ) -> "ray.data.Dataset":
     """Distinct-per-group dataset: ``group_cols... , estimate:int64``.
 
@@ -164,6 +170,7 @@ def grouped_approx_distinct(
         hash_method=hash_method,
         batch_size=batch_size,
         concurrency=concurrency,
+        ignore_nulls=ignore_nulls,
     )
     if premerge_batch:
         from rayhll.stages.build import make_local_premerge
@@ -291,6 +298,9 @@ class HllDistinct(AggregateFn):
         def _raw(block):
             if not isinstance(block, pa.Table):
                 block = pa.Table.from_pandas(block)
+            # SQL semantics: COUNT(DISTINCT on) ignores NULL rows
+            if block.column(on).null_count:
+                block = block.filter(pa.compute.is_valid(block.column(on)))
             if hash_method == "sha256":
                 return hashing.sha256_raw64(block.column(on))
             return hashing.hash64_table(block, [on])

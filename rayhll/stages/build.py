@@ -70,6 +70,7 @@ class BuildPartials:
         hash_method: str = "fast",
         seed: int = hashing.DEFAULT_SEED,
         num_buckets: int = DEFAULT_NUM_BUCKETS,
+        ignore_nulls: bool = True,
     ):
         self.settings = settings or HllSettings(11, 5)
         self.key_cols = list(key_cols)
@@ -81,17 +82,39 @@ class BuildPartials:
         self.hash_method = hash_method
         self.seed = seed
         self.num_buckets = num_buckets
+        #: SQL semantics (default): rows whose key tuple contains a NULL
+        #: contribute nothing to the distinct count — COUNT(DISTINCT col)
+        #: ignores NULLs (and Spark's multi-arg variant ignores any-null
+        #: tuples).  False = count NULL as one distinct value per column
+        #: combination (the pre-r2 behavior).
+        self.ignore_nulls = ignore_nulls
 
     def _raw64(self, batch: pa.Table) -> np.ndarray:
         if self.hash_method == "sha256":
             return hashing.sha256_raw64(batch.column(self.key_cols[0]))
         return hashing.hash64_table(batch, self.key_cols, seed=self.seed)
 
+    def _valid_mask(self, batch: pa.Table) -> np.ndarray | None:
+        """Bool mask of rows whose key tuple has no NULL (None = all valid)."""
+        if not self.ignore_nulls:
+            return None
+        import pyarrow.compute as pc
+
+        mask: np.ndarray | None = None
+        for c in self.key_cols:
+            col = batch.column(c)
+            if col.null_count == 0:
+                continue
+            m = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            mask = m if mask is None else (mask & m)
+        return mask
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         raw = self._raw64(batch)
+        valid = self._valid_mask(batch)
         if not self.group_cols:
             sk = HllSketch(self.settings)
-            sk.add_batch(raw)
+            sk.add_batch(raw if valid is None else raw[valid])
             return pa.table(
                 {
                     SKETCH_COL: pa.array([sk.to_bytes()], type=pa.binary()),
@@ -104,7 +127,7 @@ class BuildPartials:
         # groups.
         ghash = hashing.hash64_table(batch, self.group_cols, seed=GROUP_HASH_SEED)
         uniq, first_idx, counts, sketches = batchbuild.build_grouped_sketches(
-            self.settings, ghash, raw
+            self.settings, ghash, raw, valid=valid
         )
         out = batch.select(self.group_cols).take(pa.array(first_idx))
         out = out.append_column(SKETCH_COL, pa.array(sketches, type=pa.binary()))

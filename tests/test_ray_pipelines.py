@@ -756,3 +756,52 @@ def test_embedding_near_dup_join_variant_matches(ray_session):
     ka = sorted(zip(a.id_a, a.id_b, a.cosine.round(12)))
     kb = sorted(zip(b.id_a, b.id_b, b.cosine.round(12)))
     assert ka == kb and len(ka) == 20
+
+
+def test_null_semantics_match_sql(ray_session):
+    """COUNT(DISTINCT) semantics for NULLs: null keys contribute nothing
+    (globally and per group), null GROUP values form their own group —
+    matching DuckDB exactly.  ignore_nulls=False restores count-the-null."""
+    import duckdb as ddb
+    import ray.data as rd
+
+    from rayhll import ray_agg
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", None, "b", None, "a"]),
+            "v": pa.array(["x", None, "y", None, "y", "x"]),
+        }
+    )
+    ddb.register("nulls_t", t)
+    ds = rd.from_arrow(t)
+    assert (
+        ray_agg.approx_distinct(ds, ["v"], settings=ray_agg.EXACT_MODE)
+        == ddb.sql("SELECT COUNT(DISTINCT v) FROM nulls_t").fetchone()[0]
+        == 2
+    )
+    got = (
+        ray_agg.grouped_approx_distinct(ds, ["g"], ["v"], settings=ray_agg.EXACT_MODE)
+        .to_pandas()
+        .sort_values("g", na_position="last")
+        .reset_index(drop=True)
+    )
+    want = ddb.sql(
+        "SELECT g, COUNT(DISTINCT v) e FROM nulls_t GROUP BY g ORDER BY g NULLS LAST"
+    ).df()
+    assert list(got["estimate"]) == list(want["e"]) == [1, 0, 1]
+    assert list(got["g"].fillna("<null>")) == list(want["g"].fillna("<null>"))
+    # rows_in still counts every input row of the group
+    assert list(got["rows_in"]) == [3, 1, 2]
+    # legacy behavior available
+    assert (
+        ray_agg.approx_distinct(
+            ds, ["v"], settings=ray_agg.EXACT_MODE, ignore_nulls=False
+        )
+        == 3
+    )
+    # AggregateFn path
+    agg = ds.groupby("g").aggregate(
+        ray_agg.HllDistinct("v", settings=ray_agg.EXACT_MODE, alias_name="e")
+    ).to_pandas().sort_values("g", na_position="last")
+    assert list(agg["e"]) == [1, 0, 1]

@@ -584,10 +584,22 @@ class ShingleSetStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat, offsets = self._mh.shingle_hashes(batch)
-        blobs = []
-        for i in range(len(batch)):
-            seg = np.unique(flat[offsets[i] : offsets[i + 1]])
-            blobs.append(seg.astype("<u8").tobytes())
+        # one lexsort dedups every doc's shingle set simultaneously
+        # (same trick as core/batchbuild): sort by (doc, hash), drop
+        # consecutive duplicates within a doc, then slice per doc.
+        n = len(batch)
+        counts = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        order = np.lexsort((flat, doc_idx))
+        d = doc_idx[order]
+        h = flat[order]
+        keep = np.r_[True, (d[1:] != d[:-1]) | (h[1:] != h[:-1])]
+        d = d[keep]
+        le = h[keep].astype("<u8")
+        starts = np.searchsorted(d, np.arange(n, dtype=np.int64))
+        ends = np.r_[starts[1:], len(d)]
+        buf = le.tobytes()
+        blobs = [buf[s * 8 : e * 8] for s, e in zip(starts.tolist(), ends.tolist())]
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),

@@ -124,6 +124,46 @@ def tumbling_window_family(
     )
 
 
+def sliding_window_family(
+    ds,
+    ts_col: str,
+    build,
+    family_cls,
+    size_us: int = 3 * US_PER_HOUR,
+    step_us: int = US_PER_HOUR,
+    finalize=None,
+    extra_group_cols: list[str] | tuple[str, ...] = (),
+):
+    """Sliding-window variant of :func:`tumbling_window_family`: the same
+    explode-before-aggregate encoding as :func:`sliding_window_distinct`
+    (fan-out = size/step, applied before the family pre-aggregation so the
+    shuffle still carries one blob per (block, window))."""
+    if size_us % step_us:
+        raise ValueError("size_us must be a multiple of step_us")
+    fanout = size_us // step_us
+
+    def assign(batch: pa.Table) -> pa.Table:
+        parts = []
+        for k in range(fanout):
+            base = _window_start_us(batch.column(ts_col), step_us) - k * step_us
+            parts.append(
+                batch.append_column(
+                    "window_start",
+                    pa.array(base, type=pa.int64()).cast(pa.timestamp("us")),
+                )
+            )
+        return pa.concat_tables(parts)
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return ray_agg.grouped_aggregate_family(
+        assigned,
+        ["window_start", *extra_group_cols],
+        build,
+        family_cls,
+        finalize=finalize,
+    )
+
+
 def session_windows(
     ds,
     ts_col: str,

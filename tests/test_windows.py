@@ -176,3 +176,42 @@ def test_tumbling_window_family_tdigest(ray_session):
         f"SELECT COUNT(*) c FROM read_parquet('{ev}') GROUP BY date_trunc('hour', ts)"
     ).df()["c"].sum()
     assert sum(r["n"] for r in out) == exact_n
+
+
+def test_sliding_window_family_countmin(ray_session):
+    """Sliding family windows: per-window count-min totals equal exact
+    per-window row counts (width >> distinct, so count-min is exact)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions.hashing import hash64_table
+    from rayhll.pipelines import windows
+    from rayhll.sketches.countmin import CountMinSketch
+
+    ev = "/root/testdata/sf0.001/events.parquet"
+
+    def build(sub: pa.Table) -> bytes:
+        cm = CountMinSketch(4, 1 << 12)
+        cm.add_batch(hash64_table(sub, ["event_type"], seed=5))
+        return cm.to_bytes()
+
+    ds = rd.read_parquet(ev, columns=["ts", "event_type"])
+    out = windows.sliding_window_family(
+        ds,
+        "ts",
+        build,
+        CountMinSketch,
+        size_us=3 * windows.US_PER_HOUR,
+        step_us=windows.US_PER_HOUR,
+        finalize=lambda cm: {"total": int(cm.total)},
+    ).to_pandas()
+    want = duckdb.sql(
+        "SELECT window_start, CAST(COUNT(*) AS BIGINT) AS total FROM ("
+        "SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start "
+        f"FROM read_parquet('{ev}'), (VALUES (0), (1), (2)) t(k)) GROUP BY 1"
+    ).df()
+    g = out.sort_values("window_start").reset_index(drop=True)
+    w = want.sort_values("window_start").reset_index(drop=True)
+    assert list(g["window_start"]) == list(w["window_start"])
+    assert list(g["total"]) == list(w["total"])

@@ -205,3 +205,24 @@ def test_range_join_matches_duckdb(ray_session):
     w = want[cols].sort_values(cols).reset_index(drop=True)
     assert len(g) == len(w) and len(g) > 0
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_bucket_equi_join_null_keys_sql_semantics(ray_session):
+    """NULL join keys never match (SQL), but left join keeps null-key left
+    rows with null right columns."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions.join import bucket_equi_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, None, 2]), "v": pa.array(["a", "b", "c"])})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([1, None]), "w": pa.array(["x", "y"])})
+    )
+    inner = bucket_equi_join(left, right, on="k", how="inner").to_pandas()
+    assert len(inner) == 1 and inner.iloc[0].v == "a" and inner.iloc[0].w == "x"
+    lj = bucket_equi_join(left, right, on="k", how="left").to_pandas()
+    assert len(lj) == 3
+    assert lj[lj.v == "b"].w.isna().all() and lj[lj.v == "c"].w.isna().all()

@@ -40,7 +40,14 @@ EST_COLS = tuple(f"est_distinct_{k}" for k in KEYS)
 
 
 class HashStage:
-    """Append ``content_sha256`` (hex) + ``content_raw64`` (int64) columns."""
+    """Append ``content_sha256`` (hex) + ``content_raw64`` (int64) columns.
+
+    Null contract: a NULL ``content`` hashes as the empty string (the
+    sha256 invariant is defined over UTF-8 bytes, and the flagship treats
+    null ≡ b"" — one distinct value).  This differs from the SQL-aligned
+    ``ignore_nulls`` default of the generic ``ray_agg`` paths, where NULL
+    keys contribute nothing; the flagship's digest column is a per-row
+    invariant and must exist for every row."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib

@@ -144,6 +144,27 @@ def _sig_from_bytes(blob: bytes) -> np.ndarray:
     return np.frombuffer(blob, dtype="<u8").astype(np.uint64)
 
 
+def _binary_fixed_matrix(col, width_u64: int) -> np.ndarray:
+    """Zero-copy decode of a fixed-length binary column into a
+    (n, width_u64) uint64 matrix straight from the Arrow buffers; falls
+    back to a per-row loop only if the column is irregular."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32, count=len(col) + 1, offset=col.offset * 4)
+    if len(col) and np.all(np.diff(offs) == width_u64 * 8):
+        return np.frombuffer(
+            col.buffers()[2], dtype="<u8", count=len(col) * width_u64, offset=int(offs[0])
+        ).reshape(len(col), width_u64)
+    return np.stack([_sig_from_bytes(col[i].as_py()) for i in range(len(col))])
+
+
+def _segment_bounds(sorted_keys: np.ndarray) -> np.ndarray:
+    """Boundaries of equal-key runs in a sorted key array (incl. 0 and n)."""
+    return np.concatenate(
+        ([0], np.flatnonzero(np.diff(sorted_keys)) + 1, [len(sorted_keys)])
+    )
+
+
 def minhash_lsh_pairs(
     ds,
     text_col: str,
@@ -227,23 +248,29 @@ def minhash_lsh_pairs(
     exploded = signed.map_batches(explode_bands, batch_format="pyarrow")
 
     def bucket_pairs(tbl: pa.Table) -> pa.Table:
-        df = pl.from_arrow(tbl)
+        # vectorized bucket segmentation: one lexsort over the whole task's
+        # rows; the Python loop below runs only over multi-member band
+        # buckets (near-dup clusters + rare collisions), never the millions
+        # of singleton buckets (PERF_NOTES #12)
+        keys = tbl.column("band_key").to_numpy()
+        all_ids = tbl.column(id_col).to_numpy()
+        sig_mat = _binary_fixed_matrix(tbl.column("signature"), num_perm)
+        all_th = tbl.column("texthash").to_numpy() if verify_text_hash else None
+        order = np.lexsort((all_ids, keys))
+        k_sorted = keys[order]
+        bounds = _segment_bounds(k_sorted)
+        sizes = np.diff(bounds)
+        cand = np.flatnonzero((sizes >= 2) & (sizes <= max_bucket_size))
         a_ids, b_ids, jac = [], [], []
-        for _, grp in df.group_by("band_key"):
-            if len(grp) < 2 or len(grp) > max_bucket_size:
-                continue
-            ids = grp[id_col].to_numpy()
-            order = np.argsort(ids)
-            ids = ids[order]
-            sigs = np.stack([_sig_from_bytes(s) for s in grp["signature"]])[order]
-            th = grp["texthash"].to_numpy()[order] if verify_text_hash else None
+        for s in cand.tolist():
+            sel = order[bounds[s] : bounds[s + 1]]
+            ids = all_ids[sel]
             uniq_ids, first = np.unique(ids, return_index=True)
             if len(uniq_ids) < 2:
                 continue
-            sigs = sigs[first]
-            if th is not None:
-                th = th[first]
-            for i in range(len(uniq_ids)):
+            sigs = sig_mat[sel[first]]
+            th = all_th[sel[first]] if all_th is not None else None
+            for i in range(len(uniq_ids) - 1):
                 eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
                 hit = eq >= threshold
                 if th is not None:
@@ -392,12 +419,18 @@ def _minhash_lsh_pairs_join(
     exploded = signed.map_batches(explode_ids, batch_format="pyarrow")
 
     def candidate_pairs(tbl: pa.Table) -> pa.Table:
-        df = pl.from_arrow(tbl)
+        keys = tbl.column("band_key").to_numpy()
+        all_ids = tbl.column(id_col).to_numpy()
+        order = np.lexsort((all_ids, keys))
+        k_sorted = keys[order]
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(k_sorted)) + 1, [len(k_sorted)])
+        )
+        sizes = np.diff(bounds)
+        cand_segs = np.flatnonzero((sizes >= 2) & (sizes <= max_bucket_size))
         a_ids, b_ids = [], []
-        for _, grp in df.group_by("band_key"):
-            if len(grp) < 2 or len(grp) > max_bucket_size:
-                continue
-            ids = np.unique(grp[id_col].to_numpy())
+        for s in cand_segs.tolist():
+            ids = np.unique(all_ids[order[bounds[s] : bounds[s + 1]]])
             if len(ids) < 2:
                 continue
             iu = np.triu_indices(len(ids), k=1)
@@ -769,15 +802,23 @@ def simhash_pairs(
     exploded = signed.map_batches(explode, batch_format="pyarrow")
 
     def bucket_pairs(tbl: pa.Table) -> pa.Table:
-        df = pl.from_arrow(tbl)
+        # vectorized segmentation; Python loop only over multi-member buckets
+        keys = tbl.column("chunk_key").to_numpy()
+        all_ids = tbl.column(id_col).to_numpy()
+        all_sims = tbl.column("simhash64").to_numpy().astype(np.int64).view(np.uint64)
+        order = np.lexsort((all_ids, keys))
+        k_sorted = keys[order]
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(k_sorted)) + 1, [len(k_sorted)])
+        )
+        sizes = np.diff(bounds)
+        cand = np.flatnonzero((sizes >= 2) & (sizes <= max_bucket_size))
         a_ids, b_ids, dist = [], [], []
-        for _, grp in df.group_by("chunk_key"):
-            if len(grp) < 2 or len(grp) > max_bucket_size:
-                continue
-            ids = grp[id_col].to_numpy()
-            sims = grp["simhash64"].to_numpy().astype(np.int64).view(np.uint64)
+        for s in cand.tolist():
+            sel = order[bounds[s] : bounds[s + 1]]
+            ids = all_ids[sel]
             uniq_ids, first = np.unique(ids, return_index=True)
-            sims = sims[first]
+            sims = all_sims[sel[first]]
             if len(uniq_ids) < 2:
                 continue
             for i in range(len(uniq_ids) - 1):

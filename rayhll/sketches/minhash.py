@@ -1,32 +1,47 @@
 """MinHash: mergeable Jaccard-similarity signatures.
 
 Broder 1997 k-permutation MinHash over pre-hashed shingle/token sets; the k
-"permutations" are SplitMix64 streams of one base hash.  Per-set signature
-= column-wise min; merge = element-wise min (set union); estimated Jaccard
-= fraction of agreeing signature slots.  Feeds the LSH banding dedup
-pipeline (rayhll.pipelines.dedup): band hashes of the signature bucket
-near-duplicates for a groupby.
+permutations are affine bijections of Z_2^64 (``h*a_i + b_i`` with odd
+``a_i`` — true permutations, derived per slot from a SplitMix64-seeded
+stream).  Per-set signature = column-wise min; merge = element-wise min
+(set union); estimated Jaccard = fraction of agreeing signature slots.
+Feeds the LSH banding dedup pipeline (rayhll.pipelines.dedup): band hashes
+of the signature bucket near-duplicates for a groupby.
+
+Performance note (r2, PERF_NOTES #12): the permutation streams are computed
+one at a time fused with the segment-min (``np.minimum.reduceat``), so
+temporaries stay cache-resident — the earlier (k, n) stream matrix was
+memory-bandwidth-bound (1.6 GB of temporaries per 20k-doc batch).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from rayhll.functions.hashing import derive_streams, splitmix64
+from rayhll.functions.hashing import splitmix64
 from rayhll.sketches.base import Sketch
 
 _MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def signature_matrix(hashes: np.ndarray, num_perm: int, seed: int = 5) -> np.ndarray:
-    """MinHash signatures for MANY sets at once.
+def perm_params(num_perm: int, seed: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) coefficients of the ``h*a + b`` affine permutations of Z_2^64
+    (a forced odd => bijective)."""
+    a = splitmix64(np.arange(seed, seed + num_perm, dtype=np.uint64)) | np.uint64(1)
+    b = splitmix64(np.arange(seed + 7919, seed + 7919 + num_perm, dtype=np.uint64))
+    return a, b
 
-    :param hashes: (n_sets,) object — not supported; use
-        :func:`signatures_for_offsets` for ragged sets.  Here ``hashes`` is
-        a flat (n,) uint64 array of ONE set's element hashes.
-    """
-    streams = derive_streams(hashes.view(np.uint64), num_perm, seed=seed)
-    return streams.min(axis=1)
+
+def signature_matrix(hashes: np.ndarray, num_perm: int, seed: int = 5) -> np.ndarray:
+    """MinHash signature of ONE set's flat (n,) uint64 element hashes."""
+    h = np.ascontiguousarray(hashes).view(np.uint64)
+    if len(h) == 0:
+        return np.full(num_perm, _MAX, dtype=np.uint64)
+    a, b = perm_params(num_perm, seed)
+    out = np.empty(num_perm, dtype=np.uint64)
+    for p in range(num_perm):
+        out[p] = (h * a[p] + b[p]).min()
+    return out
 
 
 def signatures_for_offsets(
@@ -42,13 +57,15 @@ def signatures_for_offsets(
     out = np.full((n_sets, num_perm), _MAX, dtype=np.uint64)
     if len(flat_hashes) == 0:
         return out
-    streams = derive_streams(flat_hashes.view(np.uint64), num_perm, seed=seed)
-    # per-permutation minimum within each [offsets[i], offsets[i+1]) segment
+    h = flat_hashes.view(np.uint64)
+    a, b = perm_params(num_perm, seed)
+    # per-permutation minimum within each [offsets[i], offsets[i+1]) segment;
+    # stream computed per permutation (cache-resident, see module docstring)
     starts = offsets[:-1]
     nonempty = (offsets[1:] - starts) > 0
     idx = starts[nonempty]
     for p in range(num_perm):
-        out[nonempty, p] = np.minimum.reduceat(streams[p], idx)
+        out[nonempty, p] = np.minimum.reduceat(h * a[p] + b[p], idx)
     return out
 
 
@@ -84,12 +101,12 @@ class MinHash(Sketch):
     def add_batch(self, values: np.ndarray) -> None:
         if len(values) == 0:
             return
-        streams = derive_streams(
+        sig = signature_matrix(
             np.ascontiguousarray(values, dtype=np.int64).view(np.uint64),
             self.num_perm,
             seed=self.seed,
         )
-        np.minimum(self.signature, streams.min(axis=1), out=self.signature)
+        np.minimum(self.signature, sig, out=self.signature)
 
     def merge(self, other: "MinHash") -> None:
         if (self.num_perm, self.seed) != (other.num_perm, other.seed):

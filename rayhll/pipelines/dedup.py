@@ -144,18 +144,36 @@ def _sig_from_bytes(blob: bytes) -> np.ndarray:
     return np.frombuffer(blob, dtype="<u8").astype(np.uint64)
 
 
-def _binary_fixed_matrix(col, width_u64: int) -> np.ndarray:
+def _binary_fixed_matrix(col, width: int, dtype: str = "<u8") -> np.ndarray:
     """Zero-copy decode of a fixed-length binary column into a
-    (n, width_u64) uint64 matrix straight from the Arrow buffers; falls
+    (n, width) matrix of ``dtype`` straight from the Arrow buffers; falls
     back to a per-row loop only if the column is irregular."""
+    itemsize = np.dtype(dtype).itemsize
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     offs = np.frombuffer(col.buffers()[1], dtype=np.int32, count=len(col) + 1, offset=col.offset * 4)
-    if len(col) and np.all(np.diff(offs) == width_u64 * 8):
+    if len(col) and np.all(np.diff(offs) == width * itemsize):
         return np.frombuffer(
-            col.buffers()[2], dtype="<u8", count=len(col) * width_u64, offset=int(offs[0])
-        ).reshape(len(col), width_u64)
-    return np.stack([_sig_from_bytes(col[i].as_py()) for i in range(len(col))])
+            col.buffers()[2], dtype=dtype, count=len(col) * width, offset=int(offs[0])
+        ).reshape(len(col), width)
+    return np.stack(
+        [np.frombuffer(col[i].as_py(), dtype=dtype) for i in range(len(col))]
+    )
+
+
+def _fixed_binary_column(mat: np.ndarray) -> pa.Array:
+    """(n, w) matrix -> binary column of n fixed-size row blobs (one buffer,
+    no per-row bytes objects)."""
+    n, w = mat.shape
+    itemsize = mat.dtype.itemsize
+    buf = pa.py_buffer(np.ascontiguousarray(mat).tobytes())
+    offsets = pa.array(
+        np.arange(0, (n + 1) * w * itemsize, w * itemsize, dtype=np.int32),
+        type=pa.int32(),
+    )
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n, [None, offsets.buffers()[1], buf]
+    )
 
 
 def _segment_bounds(sorted_keys: np.ndarray) -> np.ndarray:
@@ -177,6 +195,7 @@ def minhash_lsh_pairs(
     max_bucket_size: int = 1000,
     verify_text_hash: bool = False,
     sig_store_dir: str | None = None,
+    sig_slot_bytes: int = 2,
 ):
     """Dataset of near-duplicate pairs ``(id_a, id_b, jaccard)`` with
     ``id_a < id_b`` and signature-estimated Jaccard >= threshold.
@@ -186,6 +205,13 @@ def minhash_lsh_pairs(
     verify shape for exact dedup at ``threshold=1.0``, where all-signature
     collisions between very-high-Jaccard near-dups would otherwise surface.
 
+    ``sig_slot_bytes`` (1, 2, 4 or 8): signature slots are truncated to this
+    many low bytes wherever they cross the shuffle — slot-equality false
+    positives add only ~256^-b to the Jaccard estimate (1.5e-5 at the
+    2-byte default, far below the 1/num_perm estimator granularity) while
+    cutting the sort payload 8/b× (measured 95% of dedup wall, PERF_NOTES
+    #12-13).  Both variants truncate identically so their pair sets match.
+
     ``carry_signatures=True`` (default) ships each doc's signature inside its
     band rows — simplest, but duplicates ~1 KiB × num_bands per doc through
     the shuffle.  ``carry_signatures=False`` is the 100 TB shape: band rows
@@ -194,6 +220,8 @@ def minhash_lsh_pairs(
     for the Jaccard check — shuffle volume drops ~num_bands× on the wide leg.
     Buckets larger than ``max_bucket_size`` are skipped in both variants
     (degenerate content; quadratic pair blow-up)."""
+    if sig_slot_bytes not in (1, 2, 4, 8):
+        raise ValueError("sig_slot_bytes must be 1, 2, 4 or 8")
     if not carry_signatures:
         if verify_text_hash:
             raise ValueError("verify_text_hash requires carry_signatures=True")
@@ -207,6 +235,7 @@ def minhash_lsh_pairs(
             gram,
             max_bucket_size,
             sig_store_dir=sig_store_dir,
+            sig_slot_bytes=sig_slot_bytes,
         )
     if sig_store_dir is not None:
         raise ValueError("sig_store_dir requires carry_signatures=False")
@@ -214,12 +243,15 @@ def minhash_lsh_pairs(
         text_col, id_col, num_perm, num_bands, gram, emit_texthash=verify_text_hash
     )
     signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    slot_dtype = f"<u{sig_slot_bytes}"
 
-    # explode to one (band_key, id, signature[, texthash]) row per band
+    # explode to one (band_key, id, truncated signature[, texthash]) row per
+    # band — the shuffle payload is num_perm * sig_slot_bytes per row
     def explode_bands(batch: pa.Table) -> pa.Table:
         n = len(batch)
         ids = batch.column(id_col)
-        sig = batch.column("signature")
+        sig_mat = _binary_fixed_matrix(batch.column("signature"), num_perm)
+        sig = _fixed_binary_column(sig_mat.astype(slot_dtype))
         keys = []
         for b in range(num_bands):
             bh = batch.column(f"band_{b}").to_numpy()
@@ -254,7 +286,7 @@ def minhash_lsh_pairs(
         # of singleton buckets (PERF_NOTES #12)
         keys = tbl.column("band_key").to_numpy()
         all_ids = tbl.column(id_col).to_numpy()
-        sig_mat = _binary_fixed_matrix(tbl.column("signature"), num_perm)
+        sig_mat = _binary_fixed_matrix(tbl.column("signature"), num_perm, slot_dtype)
         all_th = tbl.column("texthash").to_numpy() if verify_text_hash else None
         order = np.lexsort((all_ids, keys))
         k_sorted = keys[order]
@@ -370,6 +402,7 @@ def _minhash_lsh_pairs_join(
     gram,
     max_bucket_size,
     sig_store_dir: str | None = None,
+    sig_slot_bytes: int = 2,
 ):
     """Scale variant of minhash_lsh_pairs (see its docstring).
 
@@ -482,8 +515,11 @@ def _minhash_lsh_pairs_join(
                     "jaccard": pa.array([], type=pa.float64()),
                 }
             )
-        sa = np.stack([_sig_from_bytes(b.as_py()) for b in batch.column("sig_a")])
-        sb = np.stack([_sig_from_bytes(b.as_py()) for b in batch.column("sig_b")])
+        # truncate to the same slot width as the carry variant so both
+        # variants compute identical estimates (store keeps full 64-bit)
+        slot = np.dtype(f"<u{sig_slot_bytes}")
+        sa = _binary_fixed_matrix(batch.column("sig_a"), num_perm).astype(slot)
+        sb = _binary_fixed_matrix(batch.column("sig_b"), num_perm).astype(slot)
         jac = (sa == sb).mean(axis=1)
         keep = jac >= threshold
         return pa.table(

@@ -934,10 +934,13 @@ class HyperplaneStage:
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.maximum(norms, 1e-12)
         n, d = mat.shape
-        # zero-copy list column: flat values + arithmetic offsets
+        # zero-copy list column: flat values + arithmetic offsets.  float32:
+        # the vector only feeds the in-bucket cosine verify, where ~1e-7
+        # rounding is far below any sane threshold margin — and it halves
+        # the shuffle payload (the dominant cost class, PERF_NOTES #13)
         norm_col = pa.ListArray.from_arrays(
             pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32), type=pa.int32()),
-            pa.array(mat.ravel(), type=pa.float64()),
+            pa.array(mat.ravel().astype(np.float32), type=pa.float32()),
         )
         out = {self.id_col: batch.column(self.id_col), "norm_vec": norm_col}
         weights = np.uint64(1) << np.arange(self.num_planes, dtype=np.uint64)

@@ -169,33 +169,59 @@ def session_windows(
     ts_col: str,
     key_col: str,
     gap_us: int = US_PER_HOUR,
+    num_buckets: int = 256,
 ):
     """Gap-based session windows per key: events of one key sorted by ts are
     split where the inter-event gap exceeds ``gap_us``.
 
     Returns a Dataset ``(key, session_start, session_end, n_events)``.
-    Partitioning assumption: one key's events fit in one group (true for
-    per-user event streams; a key whose history exceeds worker memory needs
-    time-bucketed pre-splitting first)."""
 
-    def sessions(group: pa.Table) -> pa.Table:
-        us = group.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy()
-        order = np.argsort(us, kind="stable")
-        us = us[order]
-        breaks = np.flatnonzero(np.diff(us) > gap_us) + 1
-        starts = np.concatenate(([0], breaks))
-        ends = np.concatenate((breaks, [len(us)]))
-        key = group.column(key_col)[0].as_py()
+    Shape: keys are co-located by hash bucket (``num_buckets`` reduce
+    tasks, thousands of keys each) and a bucket's sessions are computed in
+    ONE vectorized pass — a lexsort over (key hash, ts) and a combined
+    new-key-or-gap break mask — never a Python call per key (the r1 shape
+    was ``map_groups`` per key: correct, but a per-key Python invocation).
+    Partitioning assumption: one bucket's events fit in one reduce task;
+    raise ``num_buckets`` to shrink buckets.  Key identity within a bucket
+    uses the 64-bit key hash (same collision contract as the grouped
+    aggregation — stages/build.py)."""
+    from rayhll.functions.hashing import hash64_table
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        kh = hash64_table(batch, [key_col], seed=0x5E55)
+        batch = batch.append_column("_kh", pa.array(kh, type=pa.int64()))
+        return batch.append_column(
+            "_ub",
+            pa.array(
+                (kh.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64),
+                type=pa.int64(),
+            ),
+        )
+
+    def sessions_bucket(tbl: pa.Table) -> pa.Table:
+        us = tbl.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy()
+        kh = tbl.column("_kh").to_numpy()
+        order = np.lexsort((us, kh))
+        k = kh[order]
+        t = us[order]
+        brk = np.r_[True, (k[1:] != k[:-1]) | ((t[1:] - t[:-1]) > gap_us)]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(t)]
+        keys = tbl.column(key_col).take(pa.array(order[starts]))
         return pa.table(
             {
-                key_col: pa.array([key] * len(starts), type=group.schema.field(key_col).type),
-                "session_start": pa.array(us[starts], type=pa.int64()).cast(pa.timestamp("us")),
-                "session_end": pa.array(us[ends - 1], type=pa.int64()).cast(pa.timestamp("us")),
+                key_col: keys,
+                "session_start": pa.array(t[starts], type=pa.int64()).cast(pa.timestamp("us")),
+                "session_end": pa.array(t[ends - 1], type=pa.int64()).cast(pa.timestamp("us")),
                 "n_events": pa.array((ends - starts).astype(np.int64), type=pa.int64()),
             }
         )
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pyarrow")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_ub")
+        .map_groups(sessions_bucket, batch_format="pyarrow")
+    )
 
 
 def heavy_hitters(

@@ -614,6 +614,60 @@ def _q_simhash_fingerprints(sf_dir: str):
     return out.select_columns(["doc_id", "simhash64"])
 
 
+def _q_simhash_dup_pairs_crafted(sf_dir: str):
+    """SimHash near-dup pairs over a crafted corpus with disjoint
+    vocabularies, ORACLE-GATED: each of 30 base docs uses its own token
+    set, ids 100+i are exact copies of base ids i < 10 — the hamming<=3
+    pairs are exactly the planted copies (deterministic; disjoint vocab
+    rules out cross-doc collisions, verified at build time)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import simhash_pairs
+
+    rows = []
+    for i in range(30):
+        toks = [f"doc{i}tok{j}" for j in range(40)]
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    for i in range(10):
+        rows.append({"doc_id": 100 + i, "text": rows[i]["text"]})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    pairs = simhash_pairs(ds, "text", "doc_id", max_hamming=3)
+    return pairs.select_columns(["id_a", "id_b", "hamming"])
+
+
+def _q_fingerprint_invariants_crafted(sf_dir: str):
+    """Winnowing-fingerprint invariants over a crafted corpus, ORACLE-GATED:
+    for each of 20 planted (original, copy) pairs emit whether the
+    fingerprints match; for each of 20 (original, unrelated) pairs emit
+    whether they differ.  Deterministic; oracle = all-TRUE tables."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.pipelines.text import Fingerprint
+
+    rows = []
+    for i in range(20):
+        toks = [f"f{i}w{j}" for j in range(60)]
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+        rows.append({"doc_id": 100 + i, "text": " ".join(toks)})  # copy
+        rows.append({"doc_id": 200 + i, "text": " ".join(f"u{i}x{j}" for j in range(60))})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = ds.map_batches(Fingerprint(), batch_format="pyarrow").take_all()
+    fp = {r["doc_id"]: r["fingerprint64"] for r in out}
+    return pa.table(
+        {
+            "pair_id": pa.array(list(range(20)) * 2, type=pa.int64()),
+            "kind": pa.array(["copy"] * 20 + ["unrelated"] * 20, type=pa.string()),
+            "ok": pa.array(
+                [fp[i] == fp[100 + i] for i in range(20)]
+                + [fp[i] != fp[200 + i] for i in range(20)],
+                type=pa.bool_(),
+            ),
+        }
+    )
+
+
 def _q_lang_id_documents(sf_dir: str):
     """Heuristic language-ID (rows-only; accuracy tested on labeled snippets)."""
     from rayhll.pipelines.text import LangId
@@ -946,6 +1000,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_exact_dup_pairs": _q_minhash_exact_dup_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "simhash_fingerprints": _q_simhash_fingerprints,
+        "simhash_dup_pairs_crafted": _q_simhash_dup_pairs_crafted,
+        "fingerprint_invariants_crafted": _q_fingerprint_invariants_crafted,
         "lang_id_documents": _q_lang_id_documents,
         "lang_id_accuracy_snippets": _q_lang_id_accuracy_snippets,
         "fingerprint_documents": _q_fingerprint_documents,
@@ -1098,6 +1154,15 @@ def oracle_sql() -> dict[str, str]:
             "JOIN (SELECT doc_id, text FROM documents UNION ALL "
             "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25) b "
             "ON a.text = b.text AND a.doc_id < b.doc_id"
+        ),
+        "simhash_dup_pairs_crafted": (
+            "SELECT CAST(i AS BIGINT) AS id_a, CAST(i + 100 AS BIGINT) AS id_b, "
+            "CAST(0 AS BIGINT) AS hamming FROM range(10) t(i)"
+        ),
+        "fingerprint_invariants_crafted": (
+            "SELECT CAST(r % 20 AS BIGINT) AS pair_id, "
+            "CASE WHEN r < 20 THEN 'copy' ELSE 'unrelated' END AS kind, "
+            "TRUE AS ok FROM range(40) t(r)"
         ),
         "lang_id_accuracy_snippets": (
             "SELECT CAST(r AS BIGINT) AS snippet_id, TRUE AS correct FROM range(5) t(r)"

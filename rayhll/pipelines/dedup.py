@@ -146,19 +146,30 @@ def _sig_from_bytes(blob: bytes) -> np.ndarray:
 
 def _binary_fixed_matrix(col, width: int, dtype: str = "<u8") -> np.ndarray:
     """Zero-copy decode of a fixed-length binary column into a
-    (n, width) matrix of ``dtype`` straight from the Arrow buffers; falls
-    back to a per-row loop only if the column is irregular."""
+    (n, width) matrix of ``dtype`` straight from the Arrow buffers.
+    Rows must all be ``width * itemsize`` bytes (signature/vector columns
+    are by construction); anything else is a caller bug and raises."""
     itemsize = np.dtype(dtype).itemsize
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    offs = np.frombuffer(col.buffers()[1], dtype=np.int32, count=len(col) + 1, offset=col.offset * 4)
-    if len(col) and np.all(np.diff(offs) == width * itemsize):
-        return np.frombuffer(
-            col.buffers()[2], dtype=dtype, count=len(col) * width, offset=int(offs[0])
-        ).reshape(len(col), width)
-    return np.stack(
-        [np.frombuffer(col[i].as_py(), dtype=dtype) for i in range(len(col))]
-    )
+    if len(col) == 0:
+        return np.empty((0, width), dtype=dtype)
+    # polars round-trips binary as large_binary (64-bit offsets)
+    if pa.types.is_large_binary(col.type):
+        offs = np.frombuffer(
+            col.buffers()[1], dtype=np.int64, count=len(col) + 1, offset=col.offset * 8
+        )
+    else:
+        offs = np.frombuffer(
+            col.buffers()[1], dtype=np.int32, count=len(col) + 1, offset=col.offset * 4
+        )
+    if not np.all(np.diff(offs) == width * itemsize):
+        raise ValueError(
+            f"expected fixed {width * itemsize}-byte binary rows; got ragged lengths"
+        )
+    return np.frombuffer(
+        col.buffers()[2], dtype=dtype, count=len(col) * width, offset=int(offs[0])
+    ).reshape(len(col), width)
 
 
 def _fixed_binary_column(mat: np.ndarray) -> pa.Array:

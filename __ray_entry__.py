@@ -754,6 +754,28 @@ def _q_multimodal_features(sf_dir: str):
     )
 
 
+def _q_multimodal_video_frames(sf_dir: str):
+    """Frame-sampling stage over the synthetic asset table's videos,
+    ORACLE-GATED on the (asset_id, frame_idx) fan-out surface: every video
+    (asset_id % 3 == 2) yields exactly frames 0..3 (deterministic fake
+    sampler; flat_map-style one-row-per-frame output)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from rayhll.pipelines.multimodal import FrameSampleStage, synth_asset_table
+
+    ds = rd.from_arrow(synth_asset_table(200))
+    videos = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("media_type"), "video")),
+        batch_format="pyarrow",
+    )
+    frames = videos.map_batches(
+        FrameSampleStage(frames_per_video=4), batch_format="pyarrow", batch_size=256
+    )
+    return frames.select_columns(["asset_id", "frame_idx"])
+
+
 # ----------------------------------------------------------------------
 # windowed aggregates + heavy hitters
 
@@ -1007,6 +1029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": _q_fingerprint_documents,
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_video_frames": _q_multimodal_video_frames,
         "window_tumbling_distinct_users": _q_window_tumbling_distinct_users,
         "window_sliding_distinct_users": _q_window_sliding_distinct_users,
         "session_windows_events": _q_session_windows_events,
@@ -1179,6 +1202,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": (
             "SELECT CAST(r AS BIGINT) AS asset_id, CASE r % 3 WHEN 0 THEN 'image' "
             "WHEN 1 THEN 'audio' ELSE 'video' END AS media_type FROM range(200) t(r)"
+        ),
+        "multimodal_video_frames": (
+            "SELECT CAST(r AS BIGINT) AS asset_id, CAST(f AS INTEGER) AS frame_idx "
+            "FROM range(200) t(r), range(4) u(f) WHERE r % 3 = 2"
         ),
         "hll_sketch_hex_by_lang": (
             "SELECT lang, TRUE AS roundtrip_within_bound FROM documents GROUP BY lang"

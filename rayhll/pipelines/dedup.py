@@ -430,9 +430,15 @@ def _minhash_lsh_pairs_join(
     stage = MinHashStage(text_col, id_col, num_perm, num_bands, gram)
     signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
     if sig_store_dir is not None:
+        import glob as _glob
+        import os
+
         import ray.data as rd
 
-        signed.write_parquet(sig_store_dir)
+        # resumability: an existing store is REUSED (the signature pass is
+        # the expensive leg); delete the directory to force a rebuild.
+        if not _glob.glob(os.path.join(sig_store_dir, "*.parquet")):
+            signed.write_parquet(sig_store_dir)
         sigs = rd.read_parquet(sig_store_dir, columns=[id_col, "signature"])
         signed = rd.read_parquet(
             sig_store_dir, columns=[id_col] + [f"band_{b}" for b in range(num_bands)]

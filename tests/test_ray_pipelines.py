@@ -581,6 +581,18 @@ def test_minhash_parquet_sig_store_matches(ray_session, tmp_path):
 
     stored = pq.read_table(str(tmp_path / "sigs"), columns=["doc_id", "signature"])
     assert len(stored) == ds.count()
+    # a rerun REUSES the store (no duplicate files, identical pairs)
+    n_files = len(list((tmp_path / "sigs").glob("*.parquet")))
+    c = minhash_lsh_pairs(
+        ds,
+        "text",
+        "doc_id",
+        threshold=0.5,
+        carry_signatures=False,
+        sig_store_dir=str(tmp_path / "sigs"),
+    ).to_pandas()
+    assert len(list((tmp_path / "sigs").glob("*.parquet"))) == n_files
+    assert key(b) == key(c)
 
 
 def test_group_hash_collision_contract(ray_session):

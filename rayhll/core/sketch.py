@@ -222,13 +222,16 @@ class HllSketch:
             # Cannot cross the threshold regardless of overlap.
             store.update(uniques.tolist())
             return
-        merged = store | set(uniques.tolist())
-        if len(merged) <= threshold:
-            self._explicit = merged
+        # vectorized union: the prior set is small (<= threshold) but the
+        # incoming batch can be huge — a Python-set union of a 10M-value
+        # batch dominated the monolithic-add path (PERF_NOTES #14)
+        store_arr = np.fromiter(store, dtype=np.int64, count=len(store))
+        all_values = np.union1d(store_arr, uniques) if len(store) else uniques
+        if len(all_values) <= threshold:
+            self._explicit = set(all_values.tolist())
             return
         # Promotion (reference: python_hll/hll.py:247-261): replay every stored
         # raw value into the next representation.
-        all_values = np.fromiter(merged, dtype=np.int64, count=len(merged))
         j, p_w = compute_registers(s, all_values)
         uj, up = _reduce_batch(j, p_w)
         self._explicit = None

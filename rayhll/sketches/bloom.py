@@ -1,10 +1,12 @@
 """Bloom filter: approximate set membership as a mergeable sketch.
 
 Standard k-hash Bloom filter (Bloom 1970) over pre-hashed int64 values; the
-k probe positions derive from one base hash by SplitMix64 streams
-(Kirsch-Mitzenmacher double hashing would also do; streams are cheaper to
-vectorize).  Merge is bitwise OR, so it composes as a Ray Data UDAF exactly
-like the HLL (partial per block, OR in the merge tree).
+k probe positions are multiplicative (multiply-shift) hashes of the base
+value — ``(h * a_i + b_i) >> (64 - log2(num_bits))`` with seeded odd
+``a_i`` — computed one stream at a time so temporaries stay cache-resident
+(a (k, n) SplitMix64 stream matrix was memory-bandwidth-bound at filter
+scale, PERF_NOTES #15).  Merge is bitwise OR, so it composes as a Ray Data
+UDAF exactly like the HLL (partial per block, OR in the merge tree).
 
 Primary engine use: broadcast semi-/anti-join prefilter — build the filter
 over the small side's keys, ``ray.put`` the serialized blob once, and probe
@@ -15,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from rayhll.functions.hashing import derive_streams
+from rayhll.functions.hashing import splitmix64
 from rayhll.sketches.base import Sketch
 
 
@@ -38,34 +40,55 @@ class BloomFilter(Sketch):
         self.num_hashes = num_hashes
         self.seed = seed
         self.bits = np.zeros(num_bits // 64, dtype=np.uint64)
+        self._shift = np.uint64(64 - int(np.log2(num_bits)))
+        self._a = splitmix64(
+            np.arange(seed, seed + num_hashes, dtype=np.uint64)
+        ) | np.uint64(1)
+        self._b = splitmix64(
+            np.arange(seed + 7919, seed + 7919 + num_hashes, dtype=np.uint64)
+        )
 
     @classmethod
     def for_capacity(cls, expected_n: int, fp_rate: float = 0.01) -> "BloomFilter":
         bits, hashes = optimal_params(expected_n, fp_rate)
         return cls(bits, hashes)
 
-    def _positions(self, values: np.ndarray) -> np.ndarray:
-        """(num_hashes, n) bit positions."""
+    def _position_streams(self, values: np.ndarray):
+        """Yield per-hash bit-position arrays (cache-resident temporaries)."""
         h = np.ascontiguousarray(values, dtype=np.int64).view(np.uint64)
-        streams = derive_streams(h, self.num_hashes, seed=self.seed)
-        return streams & np.uint64(self.num_bits - 1)
+        for i in range(self.num_hashes):
+            yield (h * self._a[i] + self._b[i]) >> self._shift
 
     def add_batch(self, values: np.ndarray) -> None:
         if len(values) == 0:
             return
-        pos = self._positions(values).ravel()
-        np.bitwise_or.at(
-            self.bits, (pos >> np.uint64(6)).astype(np.int64), np.uint64(1) << (pos & np.uint64(63))
-        )
+        dense_add = len(values) * self.num_hashes >= (self.num_bits >> 4)
+        if dense_add:
+            # filter-sized batch: boolean scatter (duplicate-safe fancy
+            # assignment) + one packbits — far cheaper than a scatter-OR
+            # (PERF_NOTES #15); layout matches the uint64 words
+            # (bit k of word w == dense[w*64 + k], little-endian)
+            dense = np.zeros(self.num_bits, dtype=bool)
+            for pos in self._position_streams(values):
+                dense[pos.astype(np.int64)] = True
+            self.bits |= np.packbits(dense, bitorder="little").view(np.uint64)
+            return
+        for pos in self._position_streams(values):
+            np.bitwise_or.at(
+                self.bits,
+                (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
 
     def contains_batch(self, values: np.ndarray) -> np.ndarray:
         """Vectorized membership probe; True may be a false positive."""
         if len(values) == 0:
             return np.zeros(0, dtype=bool)
-        pos = self._positions(values)
-        words = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
-        hit = (words >> (pos & np.uint64(63))) & np.uint64(1)
-        return hit.all(axis=0)
+        hit = np.ones(len(values), dtype=bool)
+        for pos in self._position_streams(values):
+            words = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+            hit &= ((words >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
+        return hit
 
     def merge(self, other: "BloomFilter") -> None:
         if (self.num_bits, self.num_hashes, self.seed) != (

@@ -116,3 +116,30 @@ def test_differential_create_for_testing_soak(ref_hll, seed):
     ref.union(r2)
     assert ours.to_bytes() == ref.to_bytes()
     assert ours.cardinality() == ref.cardinality()
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_differential_union_chain_soak(ref_hll, seed):
+    """Sequential union CHAINS (5 sketches of random sizes folded left to
+    right) — covers repeated-union state transitions the pairwise soak
+    doesn't (e.g. SPARSE accumulator absorbing EXPLICIT then crossing to
+    FULL mid-chain).  Byte-equal after every fold."""
+    rng = random.Random(4000 + seed)
+    log2m = rng.randint(4, 14)
+    regwidth = rng.randint(1, 8)
+    expthresh = rng.choice([-1, 0, rng.randint(1, 14)])
+    sparseon = rng.random() < 0.7
+    acc_o = HLL(log2m, regwidth, expthresh, sparseon)
+    acc_r = ref_hll(log2m, regwidth, expthresh, sparseon)
+    for _ in range(5):
+        n = rng.choice([0, 2, 30, 250, 800])
+        o = HLL(log2m, regwidth, expthresh, sparseon)
+        r = ref_hll(log2m, regwidth, expthresh, sparseon)
+        for _ in range(n):
+            v = rng.randint(-(2**63), 2**63 - 1)
+            o.add_raw(v)
+            r.add_raw(v)
+        acc_o.union(o)
+        acc_r.union(r)
+        assert acc_o.to_bytes() == acc_r.to_bytes(), (log2m, regwidth, expthresh, sparseon, n)
+    assert acc_o.cardinality() == acc_r.cardinality()

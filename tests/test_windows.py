@@ -215,3 +215,40 @@ def test_sliding_window_family_countmin(ray_session):
     w = want.sort_values("window_start").reset_index(drop=True)
     assert list(g["window_start"]) == list(w["window_start"])
     assert list(g["total"]) == list(w["total"])
+
+
+def test_tumbling_window_family_extra_group_cols(ray_session):
+    """Windowed family aggregate with extra group keys: per-(window,
+    event_type) counts stay exact."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions.hashing import hash64_table
+    from rayhll.pipelines import windows
+    from rayhll.sketches.countmin import CountMinSketch
+
+    ev = "/root/testdata/sf0.001/events.parquet"
+
+    def build(sub: pa.Table) -> bytes:
+        cm = CountMinSketch(4, 1 << 10)
+        cm.add_batch(hash64_table(sub, ["user_id"], seed=2))
+        return cm.to_bytes()
+
+    ds = rd.read_parquet(ev, columns=["ts", "event_type", "user_id"])
+    out = windows.tumbling_window_family(
+        ds,
+        "ts",
+        build,
+        CountMinSketch,
+        finalize=lambda cm: {"total": int(cm.total)},
+        extra_group_cols=["event_type"],
+    ).to_pandas()
+    want = duckdb.sql(
+        "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+        f"CAST(COUNT(*) AS BIGINT) AS total FROM read_parquet('{ev}') GROUP BY 1, 2"
+    ).df()
+    cols = ["window_start", "event_type"]
+    g = out.sort_values(cols).reset_index(drop=True)
+    w = want.sort_values(cols).reset_index(drop=True)
+    assert list(g["total"]) == list(w["total"]) and len(g) == len(w)

@@ -4,14 +4,16 @@ Cormode & Muthukrishnan 2005.  ``depth`` independent hash rows of ``width``
 counters; point estimate is the min over rows (always an overestimate).
 Merge is element-wise addition, so grouped/global aggregation composes the
 same way as the HLL UDAF.  Batch adds are one ``np.bincount`` per row —
-no per-value Python.
+no per-value Python; the per-row column streams are multiply-shift hashes
+computed one row at a time (cache-resident, same pattern as minhash/bloom —
+PERF_NOTES #12/#15).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from rayhll.functions.hashing import derive_streams
+from rayhll.functions.hashing import splitmix64
 from rayhll.sketches.base import Sketch
 
 
@@ -26,21 +28,23 @@ class CountMinSketch(Sketch):
         self.seed = seed
         self.table = np.zeros((depth, width), dtype=np.int64)
         self.total = 0
+        self._shift = np.uint64(64 - int(np.log2(width)))
+        self._a = splitmix64(np.arange(seed, seed + depth, dtype=np.uint64)) | np.uint64(1)
+        self._b = splitmix64(np.arange(seed + 7919, seed + 7919 + depth, dtype=np.uint64))
 
-    def _cols(self, values: np.ndarray) -> np.ndarray:
+    def _col_streams(self, values: np.ndarray):
+        """Yield per-row column-index arrays (multiply-shift hashing)."""
         h = np.ascontiguousarray(values, dtype=np.int64).view(np.uint64)
-        return (derive_streams(h, self.depth, seed=self.seed) & np.uint64(self.width - 1)).astype(
-            np.int64
-        )
+        for d in range(self.depth):
+            yield ((h * self._a[d] + self._b[d]) >> self._shift).astype(np.int64)
 
     def add_batch(self, values: np.ndarray, counts: np.ndarray | None = None) -> None:
         if len(values) == 0:
             return
-        cols = self._cols(values)
         weights = None if counts is None else np.asarray(counts, dtype=np.int64)
-        for d in range(self.depth):
+        for d, cols in enumerate(self._col_streams(values)):
             self.table[d] += np.bincount(
-                cols[d], weights=weights, minlength=self.width
+                cols, weights=weights, minlength=self.width
             ).astype(np.int64)
         self.total += int(len(values) if weights is None else weights.sum())
 
@@ -48,9 +52,10 @@ class CountMinSketch(Sketch):
         """Estimated count per value (vectorized min over rows)."""
         if len(values) == 0:
             return np.zeros(0, dtype=np.int64)
-        cols = self._cols(values)
-        ests = self.table[np.arange(self.depth)[:, None], cols]
-        return ests.min(axis=0)
+        est = np.full(len(values), np.iinfo(np.int64).max, dtype=np.int64)
+        for d, cols in enumerate(self._col_streams(values)):
+            np.minimum(est, self.table[d][cols], out=est)
+        return est
 
     def estimate(self, value: int) -> int:
         return int(self.estimate_batch(np.array([value], dtype=np.int64))[0])

@@ -70,6 +70,11 @@ def bucket_equi_join(
         if name in on:
             continue
         dst = name + suffix if name in left_schema.names else name
+        if dst in left_schema.names:
+            raise ValueError(
+                f"suffixed right column {dst!r} collides with a left column; "
+                "rename one side or choose another suffix"
+            )
         right_out.append((name, dst, typ))
     unified = left_fields + [(dst, typ) for _, dst, typ in right_out]
 
@@ -165,6 +170,11 @@ def range_join(
         if name in by:
             continue
         dst = name + suffix if name in left_schema.names else name
+        if dst in left_schema.names:
+            raise ValueError(
+                f"suffixed right column {dst!r} collides with a left column; "
+                "rename one side or choose another suffix"
+            )
         right_out.append((name, dst, typ))
     unified = left_fields + [(dst, typ) for _, dst, typ in right_out]
     lo_dst = lo + suffix if lo in left_schema.names else lo
@@ -263,6 +273,11 @@ def asof_join(
         if name in by or name == on:
             continue
         dst = name + suffix if name in left_schema.names else name
+        if dst in left_schema.names:
+            raise ValueError(
+                f"suffixed right column {dst!r} collides with a left column; "
+                "rename one side or choose another suffix"
+            )
         right_out.append((name, dst, typ))
     unified = left_fields + [(dst, typ) for _, dst, typ in right_out]
 

@@ -226,3 +226,17 @@ def test_bucket_equi_join_null_keys_sql_semantics(ray_session):
     lj = bucket_equi_join(left, right, on="k", how="left").to_pandas()
     assert len(lj) == 3
     assert lj[lj.v == "b"].w.isna().all() and lj[lj.v == "c"].w.isna().all()
+
+
+def test_join_suffix_collision_raises(ray_session):
+    """A right column whose suffixed name collides with a left column is a
+    clear error, not silent data loss."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions.join import bucket_equi_join
+
+    left = rd.from_arrow(pa.table({"k": [1], "v": ["a"], "v_right": ["x"]}))
+    right = rd.from_arrow(pa.table({"k": [1], "v": ["y"]}))
+    with pytest.raises(ValueError, match="collides"):
+        bucket_equi_join(left, right, on="k")

@@ -368,6 +368,37 @@ def _q_range_join_events_windows(sf_dir: str):
     return out.select_columns(["ts", "user_id", "event_type", "win_start"])
 
 
+def _q_grouped_top_k_orders(sf_dir: str):
+    """Per-group top-k (curation staple: 'k smallest per class'),
+    ORACLE-GATED vs the SQL window function."""
+    from rayhll.functions.sample import grouped_top_k
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderkey"])
+    return grouped_top_k(ds, "o_orderstatus", "o_orderkey", k=5)
+
+
+def _q_grouped_sample_documents(sf_dir: str):
+    """Deterministic per-group uniform sample (k docs per lang),
+    ORACLE-GATED on the per-group sample sizes; membership determinism and
+    uniformity are pinned in pytest (the hash order is not SQL-computable)."""
+    import pyarrow as pa
+
+    from rayhll.functions.sample import grouped_hash_sample
+
+    ds = _read(sf_dir, "documents", columns=["lang", "doc_id"])
+    out = grouped_hash_sample(ds, "lang", "doc_id", k=20).take_all()
+    counts: dict[str, int] = {}
+    for r in out:
+        counts[r["lang"]] = counts.get(r["lang"], 0) + 1
+    langs = sorted(counts)
+    return pa.table(
+        {
+            "lang": pa.array(langs, type=pa.string()),
+            "n_sampled": pa.array([counts[l] for l in langs], type=pa.int64()),
+        }
+    )
+
+
 def _q_countmin_event_type_counts(sf_dir: str):
     import duckdb
     import pyarrow as pa
@@ -1013,6 +1044,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer_by_segment": _q_join_orders_customer_by_segment,
         "asof_join_click_purchase": _q_asof_join_click_purchase,
         "range_join_events_windows": _q_range_join_events_windows,
+        "grouped_top_k_orders": _q_grouped_top_k_orders,
+        "grouped_sample_documents": _q_grouped_sample_documents,
         "countmin_event_type_counts": _q_countmin_event_type_counts,
         "tdigest_price_quantiles": _q_tdigest_price_quantiles,
         "kll_event_value_quantiles": _q_kll_event_value_quantiles,
@@ -1086,6 +1119,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c_mktsegment"
+        ),
+        "grouped_top_k_orders": (
+            "SELECT o_orderstatus, o_orderkey FROM (SELECT o_orderstatus, o_orderkey, "
+            "ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) rn "
+            "FROM orders) WHERE rn <= 5"
+        ),
+        "grouped_sample_documents": (
+            "SELECT lang, CAST(LEAST(20, COUNT(*)) AS BIGINT) AS n_sampled "
+            "FROM documents GROUP BY lang"
         ),
         "range_join_events_windows": (
             "WITH w AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS win_start, "

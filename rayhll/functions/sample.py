@@ -1,0 +1,121 @@
+"""Per-group top-k and deterministic per-group sampling.
+
+Training-data curation staples ("k examples per class", "uniform sample per
+source") expressed Ray-Data-first:
+
+* :func:`grouped_top_k` — the smallest/largest ``k`` rows of each group by
+  an order column, as a distributed pre-aggregating pipeline: every batch
+  keeps at most k rows per group (one lexsort), a bucketed groupby
+  co-locates thousands of groups per reduce task, and the reduce repeats
+  the same vectorized cut.  The shuffle carries at most
+  O(#blocks × #groups-per-block × k) rows, never the input.
+  SQL equivalent: ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY o) <= k``.
+* :func:`grouped_hash_sample` — a deterministic uniform sample of k rows
+  per group: top-k by the 64-bit hash of the id columns (a seeded hash
+  order is a uniform random order, reproducible across runs and batchings
+  — no RNG state to coordinate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rayhll.functions.hashing import hash64_table
+
+_BUCKET = "_tk_bkt"
+_ORDER = "_tk_order"
+
+
+def _cut_top_k(tbl: pa.Table, group_cols: list[str], order: np.ndarray, k: int) -> pa.Table:
+    """Keep <= k rows per group, ordered by ``order`` ascending (vectorized:
+    one lexsort + within-group rank)."""
+    ghash = hash64_table(tbl, group_cols, seed=0x70FF)
+    sortidx = np.lexsort((order, ghash))
+    g = ghash[sortidx]
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    counts = np.diff(np.r_[starts, len(g)])
+    rank = np.arange(len(g), dtype=np.int64) - np.repeat(starts, counts)
+    return tbl.take(pa.array(sortidx[rank < k]))
+
+
+def grouped_top_k(
+    ds,
+    group_cols: list[str] | str,
+    order_col: str,
+    k: int,
+    descending: bool = False,
+    num_buckets: int = 64,
+):
+    """The ``k`` smallest (or largest) rows of each group by ``order_col``.
+
+    Ties broken by order-column value only (rows equal in ``order_col`` are
+    kept in arbitrary deterministic order, like SQL ROW_NUMBER with a
+    non-unique ORDER BY); output columns = input columns."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+
+    def order_of(tbl: pa.Table) -> np.ndarray:
+        col = tbl.column(order_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.to_numpy(zero_copy_only=False)
+        if vals.dtype == object:
+            # strings etc.: local ordinal ranks — rank order == value order
+            # within any table, and top-k is a selection, so partial and
+            # final cuts both select by true value order
+            order = np.argsort(np.argsort(vals, kind="stable"), kind="stable")
+            return len(order) - 1 - order if descending else order
+        if np.issubdtype(vals.dtype, np.integer) or vals.dtype.kind == "M":
+            order = vals.view(np.int64) if vals.dtype.kind == "M" else vals.astype(np.int64)
+            return ~order if descending else order  # ~x = -x-1: exact reverse
+        order = vals.astype(np.float64)
+        return -order if descending else order
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        out = _cut_top_k(tbl, group_cols, order_of(tbl), k)
+        gh = hash64_table(out, group_cols, seed=0x70FF)
+        return out.append_column(
+            _BUCKET,
+            pa.array((gh.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)),
+        )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns([_BUCKET])
+        return _cut_top_k(tbl, group_cols, order_of(tbl), k)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(_BUCKET)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def grouped_hash_sample(
+    ds,
+    group_cols: list[str] | str,
+    id_cols: list[str] | str,
+    k: int,
+    seed: int = 0x5A17,
+    num_buckets: int = 64,
+):
+    """Deterministic uniform sample of ``k`` rows per group: the rows whose
+    seeded 64-bit id-hash is smallest.  Reproducible across runs, batch
+    sizes and cluster shapes; change ``seed`` for an independent draw."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    if isinstance(id_cols, str):
+        id_cols = [id_cols]
+
+    def with_hash(tbl: pa.Table) -> pa.Table:
+        h = hash64_table(tbl, id_cols, seed=seed)
+        return tbl.append_column(_ORDER, pa.array(h, type=pa.int64()))
+
+    out = grouped_top_k(
+        ds.map_batches(with_hash, batch_format="pyarrow", zero_copy_batch=True),
+        group_cols,
+        _ORDER,
+        k,
+        num_buckets=num_buckets,
+    )
+    return out.drop_columns([_ORDER])

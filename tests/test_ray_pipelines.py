@@ -929,3 +929,60 @@ def test_grouped_distinct_randomized_vs_duckdb(ray_session, seed):
     m = got.merge(want, on="g", how="outer")
     assert len(m) == len(want)  # same group sets (incl. the null group)
     assert (m["estimate"] == m["e"]).all() and (m["rows_in"] == m["n"]).all()
+
+
+def test_grouped_top_k_matches_sql_window(ray_session):
+    """grouped_top_k == ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...) <= k
+    on real data, ascending and descending."""
+    import ray.data as rd
+
+    from rayhll.functions.sample import grouped_top_k
+
+    ev = f"{SF}/orders.parquet"
+    for desc in (False, True):
+        ds = rd.read_parquet(ev, columns=["o_orderstatus", "o_orderkey"])
+        got = grouped_top_k(
+            ds, "o_orderstatus", "o_orderkey", k=7, descending=desc
+        ).to_pandas()
+        dirn = "DESC" if desc else "ASC"
+        want = duckdb.sql(
+            "SELECT o_orderstatus, o_orderkey FROM (SELECT o_orderstatus, o_orderkey, "
+            f"ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey {dirn}) rn "
+            f"FROM read_parquet('{ev}')) WHERE rn <= 7"
+        ).df()
+        cols = ["o_orderstatus", "o_orderkey"]
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        assert g.equals(w), desc
+
+
+def test_grouped_hash_sample_deterministic_uniformish(ray_session):
+    """Per-group hash sample: exactly min(k, group size) rows per group,
+    deterministic across runs and batch layouts, different across seeds,
+    and roughly uniform over ids."""
+    import ray.data as rd
+
+    from rayhll.functions.sample import grouped_hash_sample
+
+    n = 30_000
+    t = pa.table(
+        {
+            "g": pa.array((np.arange(n) % 3).astype(np.int64)),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+
+    def run(blocks, seed=0x5A17):
+        ds = rd.from_arrow(t).repartition(blocks)
+        df = grouped_hash_sample(ds, "g", "id", k=100, seed=seed).to_pandas()
+        return df
+
+    a = run(4)
+    b = run(16)
+    assert a.groupby("g").size().tolist() == [100, 100, 100]
+    assert set(map(tuple, a.to_numpy())) == set(map(tuple, b.to_numpy()))
+    c = run(4, seed=999)
+    assert set(c.id) != set(a.id)
+    # uniform-ish: sample mean of ids within 4 sigma of the population mean
+    sigma = n / np.sqrt(12 * 300)
+    assert abs(a.id.mean() - n / 2) < 4 * sigma

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from rayhll.functions.hashing import hash64_table
 
@@ -51,7 +52,8 @@ def grouped_top_k(
 
     Ties broken by order-column value only (rows equal in ``order_col`` are
     kept in arbitrary deterministic order, like SQL ROW_NUMBER with a
-    non-unique ORDER BY); output columns = input columns."""
+    non-unique ORDER BY); output columns = input columns.  Nulls (and float
+    NaNs) place LAST regardless of direction — SQL ``NULLS LAST``."""
     if isinstance(group_cols, str):
         group_cols = [group_cols]
 
@@ -59,18 +61,43 @@ def grouped_top_k(
         col = tbl.column(order_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        null_mask = None
+        if col.null_count:
+            null_mask = col.is_null().to_numpy(zero_copy_only=False)
+            # fill so integer columns stay integer through to_numpy (a
+            # null-driven float64 round-trip would corrupt int64 > 2^53)
+            t = col.type
+            zero = "" if pa.types.is_string(t) or pa.types.is_large_string(t) else 0
+            col = pc.fill_null(col, pa.scalar(zero, type=t))
         vals = col.to_numpy(zero_copy_only=False)
         if vals.dtype == object:
             # strings etc.: local ordinal ranks — rank order == value order
             # within any table, and top-k is a selection, so partial and
             # final cuts both select by true value order
             order = np.argsort(np.argsort(vals, kind="stable"), kind="stable")
-            return len(order) - 1 - order if descending else order
-        if np.issubdtype(vals.dtype, np.integer) or vals.dtype.kind == "M":
+            order = len(order) - 1 - order if descending else order
+            if null_mask is not None:
+                order = order.copy()
+                order[null_mask] = len(order)  # past every real rank
+            return order
+        if np.issubdtype(vals.dtype, np.unsignedinteger):
+            # bias by the sign bit (order-preserving uint64 -> int64 map);
+            # a plain astype(int64) would wrap values >= 2^63 negative
+            order = (vals.astype(np.uint64) ^ np.uint64(1 << 63)).view(np.int64)
+            order = ~order if descending else order  # ~x = -x-1: exact reverse
+            last = np.iinfo(np.int64).max
+        elif np.issubdtype(vals.dtype, np.integer) or vals.dtype.kind == "M":
             order = vals.view(np.int64) if vals.dtype.kind == "M" else vals.astype(np.int64)
-            return ~order if descending else order  # ~x = -x-1: exact reverse
-        order = vals.astype(np.float64)
-        return -order if descending else order
+            order = ~order if descending else order
+            last = np.iinfo(np.int64).max
+        else:
+            order = vals.astype(np.float64)
+            order = -order if descending else order
+            last = np.inf  # NaN already sorts after inf in numpy sorts
+        if null_mask is not None:
+            order = order.copy()
+            order[null_mask] = last
+        return order
 
     def partial(tbl: pa.Table) -> pa.Table:
         out = _cut_top_k(tbl, group_cols, order_of(tbl), k)

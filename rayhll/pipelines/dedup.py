@@ -194,6 +194,49 @@ def _segment_bounds(sorted_keys: np.ndarray) -> np.ndarray:
     )
 
 
+#: target exploded rows per co-locating reduce task.  ~2M rows × ~0.3 KiB
+#: (id + truncated signature slots) ≈ 600 MiB working set per task worst
+#: case, comfortably inside a worker heap; on a cluster, more buckets only
+#: add (cheap) sort keys, while too few buckets OOM the reduce tasks.
+TARGET_ROWS_PER_TASK = 2_000_000
+
+
+def _resolve_num_buckets(ds, num_buckets, rows_per_doc: int) -> int:
+    """Co-locating bucket fanout for the dedup groupbys.
+
+    Explicit ``num_buckets`` wins.  ``None`` auto-sizes from the input row
+    count so each ``groupby(bkt).map_groups`` reduce task sees roughly
+    ``TARGET_ROWS_PER_TASK`` exploded rows (docs × rows_per_doc — bands,
+    simhash chunks, or hyperplane tables), the fix for the fixed 64-way
+    fanout that would OOM reduce tasks at 100-TB inputs however vectorized
+    the kernel is.  ``ds.count()`` is metadata-only for un-transformed
+    parquet reads (the normal call shape); if the plan must execute or
+    fails, fall back to 64.  Result is a power of two in [64, 2^20] —
+    pair sets are invariant to the choice (pinned by
+    tests/test_ray_pipelines.py::test_dedup_pairs_bucket_invariance)."""
+    if num_buckets is not None:
+        if num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+        return int(num_buckets)
+    try:
+        n = ds.count()
+    except Exception:
+        return 64
+    if n is None:
+        return 64
+    want = max(1, int(np.ceil(n * rows_per_doc / TARGET_ROWS_PER_TASK)))
+    return max(64, min(1 << 20, 1 << (want - 1).bit_length()))
+
+
+def _mod_bucket_col(values: np.ndarray, num_buckets: int) -> pa.Array:
+    """int64 bucket column ``values % num_buckets`` (via the uint64 view so
+    negative hash keys bucket uniformly)."""
+    return pa.array(
+        (values.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64),
+        type=pa.int64(),
+    )
+
+
 def minhash_lsh_pairs(
     ds,
     text_col: str,
@@ -207,6 +250,7 @@ def minhash_lsh_pairs(
     verify_text_hash: bool = False,
     sig_store_dir: str | None = None,
     sig_slot_bytes: int = 2,
+    num_buckets: int | None = None,
 ):
     """Dataset of near-duplicate pairs ``(id_a, id_b, jaccard)`` with
     ``id_a < id_b`` and signature-estimated Jaccard >= threshold.
@@ -230,9 +274,14 @@ def minhash_lsh_pairs(
     the two signatures are joined back (bucketed tagged-union equi-join)
     for the Jaccard check — shuffle volume drops ~num_bands× on the wide leg.
     Buckets larger than ``max_bucket_size`` are skipped in both variants
-    (degenerate content; quadratic pair blow-up)."""
+    (degenerate content; quadratic pair blow-up).
+
+    ``num_buckets`` sizes the co-locating reduce fanout (see
+    ``_resolve_num_buckets``); ``None`` auto-targets ~2M exploded rows per
+    reduce task.  Pair sets are invariant to the value."""
     if sig_slot_bytes not in (1, 2, 4, 8):
         raise ValueError("sig_slot_bytes must be 1, 2, 4 or 8")
+    num_buckets = _resolve_num_buckets(ds, num_buckets, num_bands)
     if not carry_signatures:
         if verify_text_hash:
             raise ValueError("verify_text_hash requires carry_signatures=True")
@@ -247,6 +296,7 @@ def minhash_lsh_pairs(
             max_bucket_size,
             sig_store_dir=sig_store_dir,
             sig_slot_bytes=sig_slot_bytes,
+            num_buckets=num_buckets,
         )
     if sig_store_dir is not None:
         raise ValueError("sig_store_dir requires carry_signatures=False")
@@ -277,10 +327,7 @@ def minhash_lsh_pairs(
         cols = {
             "band_key": pa.array(band_key, type=pa.int64()),
             # co-locating bucket: many band keys per reduce task
-            "bkt": pa.array(
-                (band_key.view(np.uint64) % np.uint64(64)).astype(np.int64),
-                type=pa.int64(),
-            ),
+            "bkt": _mod_bucket_col(band_key, num_buckets),
             id_col: tiled(ids),
             "signature": tiled(sig),
         }
@@ -336,9 +383,7 @@ def minhash_lsh_pairs(
     # distinct pairs (a pair can surface from several bands)
     def add_pair_bucket(tbl: pa.Table) -> pa.Table:
         a = tbl.column("id_a").to_numpy()
-        return tbl.append_column(
-            "pbkt", pa.array((a % 64).astype(np.int64), type=pa.int64())
-        )
+        return tbl.append_column("pbkt", _mod_bucket_col(a, num_buckets))
 
     def dedup_pairs(tbl: pa.Table) -> pa.Table:
         return (
@@ -353,6 +398,42 @@ def minhash_lsh_pairs(
         .groupby("pbkt")
         .map_groups(dedup_pairs, batch_format="pyarrow")
     )
+
+
+def _make_candidate_pairs_fn(key_col: str, id_col: str, max_bucket_size: int):
+    """Unverified candidate-pair kernel for the id-only (join) dedup
+    variants: ONE lexsort segments the task's rows into equal-key buckets;
+    the Python loop runs only over multi-member segments, never the
+    millions of singleton buckets (PERF_NOTES #12 convention)."""
+
+    def candidate_pairs(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy()
+        all_ids = tbl.column(id_col).to_numpy()
+        order = np.lexsort((all_ids, keys))
+        k_sorted = keys[order]
+        bounds = _segment_bounds(k_sorted)
+        sizes = np.diff(bounds)
+        cand_segs = np.flatnonzero((sizes >= 2) & (sizes <= max_bucket_size))
+        a_ids, b_ids = [], []
+        for s in cand_segs.tolist():
+            ids = np.unique(all_ids[order[bounds[s] : bounds[s + 1]]])
+            if len(ids) < 2 or len(ids) > max_bucket_size:
+                continue
+            iu = np.triu_indices(len(ids), k=1)
+            a_ids.append(ids[iu[0]])
+            b_ids.append(ids[iu[1]])
+        if not a_ids:
+            return pa.table(
+                {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(a_ids), type=pa.int64()),
+                "id_b": pa.array(np.concatenate(b_ids), type=pa.int64()),
+            }
+        )
+
+    return candidate_pairs
 
 
 def _bucket_join_sig(pairs, sigs, id_col: str, key_col: str, out_sig_col: str, num_buckets: int = 64):
@@ -414,6 +495,7 @@ def _minhash_lsh_pairs_join(
     max_bucket_size,
     sig_store_dir: str | None = None,
     sig_slot_bytes: int = 2,
+    num_buckets: int = 64,
 ):
     """Scale variant of minhash_lsh_pairs (see its docstring).
 
@@ -431,14 +513,47 @@ def _minhash_lsh_pairs_join(
     signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
     if sig_store_dir is not None:
         import glob as _glob
+        import json
         import os
 
         import ray.data as rd
 
+        from rayhll.sketches.base import Sketch
+
+        # the parameters that determine signature CONTENT for a given input;
+        # format_version covers the MinHash permutation scheme itself
+        manifest = {
+            "format_version": Sketch.format_version,
+            "num_perm": num_perm,
+            "num_bands": num_bands,
+            "gram": gram,
+            "text_col": text_col,
+            "id_col": id_col,
+        }
+        manifest_path = os.path.join(sig_store_dir, "_MANIFEST.json")
         # resumability: an existing store is REUSED (the signature pass is
-        # the expensive leg); delete the directory to force a rebuild.
+        # the expensive leg) — but only when its manifest matches; a gram/
+        # num_perm/scheme mismatch would yield silently wrong pairs.
         if not _glob.glob(os.path.join(sig_store_dir, "*.parquet")):
             signed.write_parquet(sig_store_dir)
+            with open(manifest_path, "w") as f:
+                json.dump(manifest, f)
+        else:
+            try:
+                with open(manifest_path) as f:
+                    found = json.load(f)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"signature store {sig_store_dir} has no _MANIFEST.json "
+                    "(pre-manifest store?) — delete the directory to rebuild"
+                ) from None
+            if found != manifest:
+                raise ValueError(
+                    f"signature store {sig_store_dir} was built with "
+                    f"{found}, but this run needs {manifest} — delete the "
+                    "directory to rebuild (reusing it would produce silently "
+                    "wrong candidate pairs)"
+                )
         sigs = rd.read_parquet(sig_store_dir, columns=[id_col, "signature"])
         signed = rd.read_parquet(
             sig_store_dir, columns=[id_col] + [f"band_{b}" for b in range(num_bands)]
@@ -456,10 +571,7 @@ def _minhash_lsh_pairs_join(
         return pa.table(
             {
                 "band_key": pa.array(band_key, type=pa.int64()),
-                "bkt": pa.array(
-                    (band_key.view(np.uint64) % np.uint64(64)).astype(np.int64),
-                    type=pa.int64(),
-                ),
+                "bkt": _mod_bucket_col(band_key, num_buckets),
                 id_col: pa.concat_arrays(
                     [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in ids]
                 ),
@@ -467,35 +579,7 @@ def _minhash_lsh_pairs_join(
         )
 
     exploded = signed.map_batches(explode_ids, batch_format="pyarrow")
-
-    def candidate_pairs(tbl: pa.Table) -> pa.Table:
-        keys = tbl.column("band_key").to_numpy()
-        all_ids = tbl.column(id_col).to_numpy()
-        order = np.lexsort((all_ids, keys))
-        k_sorted = keys[order]
-        bounds = np.concatenate(
-            ([0], np.flatnonzero(np.diff(k_sorted)) + 1, [len(k_sorted)])
-        )
-        sizes = np.diff(bounds)
-        cand_segs = np.flatnonzero((sizes >= 2) & (sizes <= max_bucket_size))
-        a_ids, b_ids = [], []
-        for s in cand_segs.tolist():
-            ids = np.unique(all_ids[order[bounds[s] : bounds[s + 1]]])
-            if len(ids) < 2:
-                continue
-            iu = np.triu_indices(len(ids), k=1)
-            a_ids.append(ids[iu[0]])
-            b_ids.append(ids[iu[1]])
-        if not a_ids:
-            return pa.table(
-                {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
-            )
-        return pa.table(
-            {
-                "id_a": pa.array(np.concatenate(a_ids), type=pa.int64()),
-                "id_b": pa.array(np.concatenate(b_ids), type=pa.int64()),
-            }
-        )
+    candidate_pairs = _make_candidate_pairs_fn("band_key", id_col, max_bucket_size)
 
     def dedup_cand(tbl: pa.Table) -> pa.Table:
         return pl.from_arrow(tbl).unique(subset=["id_a", "id_b"]).to_arrow()
@@ -504,9 +588,8 @@ def _minhash_lsh_pairs_join(
         exploded.groupby("bkt")
         .map_groups(candidate_pairs, batch_format="pyarrow")
         .map_batches(
-            lambda t: t.append_column(
-                "pbkt",
-                pa.array((t.column("id_a").to_numpy() % 64).astype(np.int64), type=pa.int64()),
+            lambda t, nb=num_buckets: t.append_column(
+                "pbkt", _mod_bucket_col(t.column("id_a").to_numpy(), nb)
             ),
             batch_format="pyarrow",
         )
@@ -551,7 +634,8 @@ def _minhash_lsh_pairs_join(
 
 
 def _embedding_near_dup_pairs_join(
-    signed, id_col, threshold, num_tables, max_bucket_size, verify_block
+    signed, id_col, threshold, num_tables, max_bucket_size, verify_block,
+    num_buckets: int = 64,
 ):
     """Wide-embedding scale variant (see embedding_near_dup_pairs): id-only
     candidate generation, pair-joined vector verify."""
@@ -567,10 +651,7 @@ def _embedding_near_dup_pairs_join(
                 pa.table(
                     {
                         "sig": batch.column(f"sig_{t}"),
-                        "bkt": pa.array(
-                            (sig.view(np.uint64) % np.uint64(64)).astype(np.int64),
-                            type=pa.int64(),
-                        ),
+                        "bkt": _mod_bucket_col(sig, num_buckets),
                         id_col: batch.column(id_col),
                     }
                 )
@@ -578,29 +659,7 @@ def _embedding_near_dup_pairs_join(
         return pa.concat_tables(parts)
 
     exploded = signed.map_batches(explode_ids, batch_format="pyarrow")
-
-    def candidate_pairs(tbl: pa.Table) -> pa.Table:
-        df = pl.from_arrow(tbl)
-        a_ids, b_ids = [], []
-        for _, grp in df.group_by("sig"):
-            if len(grp) < 2:
-                continue
-            ids = np.unique(grp[id_col].to_numpy())
-            if len(ids) < 2 or len(ids) > max_bucket_size:
-                continue
-            iu = np.triu_indices(len(ids), k=1)
-            a_ids.append(ids[iu[0]])
-            b_ids.append(ids[iu[1]])
-        if not a_ids:
-            return pa.table(
-                {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
-            )
-        return pa.table(
-            {
-                "id_a": pa.array(np.concatenate(a_ids), type=pa.int64()),
-                "id_b": pa.array(np.concatenate(b_ids), type=pa.int64()),
-            }
-        )
+    candidate_pairs = _make_candidate_pairs_fn("sig", id_col, max_bucket_size)
 
     def dedup_cand(tbl: pa.Table) -> pa.Table:
         return pl.from_arrow(tbl).unique(subset=["id_a", "id_b"]).to_arrow()
@@ -609,9 +668,8 @@ def _embedding_near_dup_pairs_join(
         exploded.groupby("bkt")
         .map_groups(candidate_pairs, batch_format="pyarrow")
         .map_batches(
-            lambda t: t.append_column(
-                "pbkt",
-                pa.array((t.column("id_a").to_numpy() % 64).astype(np.int64), type=pa.int64()),
+            lambda t, nb=num_buckets: t.append_column(
+                "pbkt", _mod_bucket_col(t.column("id_a").to_numpy(), nb)
             ),
             batch_format="pyarrow",
         )
@@ -694,6 +752,36 @@ class ShingleSetStage:
         )
 
 
+def _binary_ragged_u64(col) -> tuple[np.ndarray, np.ndarray]:
+    """Ragged little-endian-uint64 binary column -> (flat values, per-row
+    counts), decoded straight from the Arrow buffers (no ``to_pylist``).
+    Rows must be multiples of 8 bytes (shingle-set blobs are by
+    construction)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    # polars round-trips binary as large_binary (64-bit offsets)
+    if pa.types.is_large_binary(col.type):
+        offs = np.frombuffer(
+            col.buffers()[1], dtype=np.int64, count=len(col) + 1, offset=col.offset * 8
+        )
+    else:
+        offs = np.frombuffer(
+            col.buffers()[1], dtype=np.int32, count=len(col) + 1, offset=col.offset * 4
+        ).astype(np.int64)
+    lengths = np.diff(offs)
+    if np.any(lengths % 8):
+        raise ValueError("expected rows of little-endian uint64 (multiples of 8 bytes)")
+    flat = np.frombuffer(
+        col.buffers()[2],
+        dtype="<u8",
+        count=int(offs[-1] - offs[0]) // 8,
+        offset=int(offs[0]),
+    ).astype(np.uint64)
+    return flat, (lengths // 8).astype(np.int64)
+
+
 def ngram_jaccard_pairs(
     ds,
     text_col: str,
@@ -704,16 +792,20 @@ def ngram_jaccard_pairs(
     num_perm: int = 128,
     num_bands: int = 32,
     max_bucket_size: int = 1000,
+    num_buckets: int | None = None,
 ):
     """Pairs with EXACT n-gram (shingle-set) Jaccard >= threshold.
 
     Shape: MinHash+LSH generates candidates at ``threshold -
     candidate_slack`` (recall head-room for the estimator's ±1/√num_perm
-    noise), the per-doc sorted shingle-hash sets are joined back to each
-    pair side with the engine's bucketed equi-join, and the exact Jaccard
-    |A∩B| / |A∪B| is computed per candidate (vectorized intersect per pair;
-    the Python loop is bounded by the candidate count, which LSH keeps
-    ~linear).  Returns (id_a, id_b, jaccard) with exact values."""
+    noise) over the SAME ``gram`` shingles as the exact verify, the per-doc
+    sorted shingle-hash sets are joined back to each pair side with the
+    engine's bucketed equi-join, and the exact Jaccard |A∩B| / |A∪B| is
+    computed for ALL candidates in one vectorized merge pass (one lexsort
+    over the batch's concatenated sorted sets; equal adjacent values within
+    a pair count the intersection — each side is duplicate-free, so a value
+    appears at most twice per pair).  Returns (id_a, id_b, jaccard) with
+    exact values."""
     from rayhll.functions.join import bucket_equi_join
 
     cand = minhash_lsh_pairs(
@@ -723,7 +815,9 @@ def ngram_jaccard_pairs(
         threshold=max(threshold - candidate_slack, 0.0),
         num_perm=num_perm,
         num_bands=num_bands,
+        gram=gram,
         max_bucket_size=max_bucket_size,
+        num_buckets=num_buckets,
     ).drop_columns(["jaccard"])
     shingles = ds.map_batches(
         ShingleSetStage(text_col, id_col, gram),
@@ -749,17 +843,19 @@ def ngram_jaccard_pairs(
                     "jaccard": pa.array([], type=pa.float64()),
                 }
             )
-        jac = np.empty(len(batch), dtype=np.float64)
-        sa = batch.column("shingles_id_a").to_pylist()
-        sb = batch.column("shingles_id_b").to_pylist()
-        for i, (a, b) in enumerate(zip(sa, sb)):
-            A = np.frombuffer(a, dtype="<u8")
-            B = np.frombuffer(b, dtype="<u8")
-            if len(A) == 0 and len(B) == 0:
-                jac[i] = 1.0
-                continue
-            inter = len(np.intersect1d(A, B, assume_unique=True))
-            jac[i] = inter / (len(A) + len(B) - inter)
+        n = len(batch)
+        flat_a, cnt_a = _binary_ragged_u64(batch.column("shingles_id_a"))
+        flat_b, cnt_b = _binary_ragged_u64(batch.column("shingles_id_b"))
+        rng = np.arange(n, dtype=np.int64)
+        pair_idx = np.concatenate([np.repeat(rng, cnt_a), np.repeat(rng, cnt_b)])
+        vals = np.concatenate([flat_a, flat_b])
+        order = np.lexsort((vals, pair_idx))
+        p, v = pair_idx[order], vals[order]
+        dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+        inter = np.bincount(p[1:][dup], minlength=n)
+        union = cnt_a + cnt_b - inter
+        # two empty sets: trivially identical
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         keep = jac >= threshold
         return pa.table(
             {
@@ -825,14 +921,21 @@ class SimHashStage:
 
 
 def simhash_pairs(
-    ds, text_col: str, id_col: str, max_hamming: int = 3, max_bucket_size: int = 4096
+    ds,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int = 4096,
+    num_buckets: int | None = None,
 ):
     """Near-duplicate pairs by SimHash hamming distance <= max_hamming.
 
     Chunk buckets larger than ``max_bucket_size`` are skipped (same
     degenerate-content contract as the MinHash and embedding paths: a
     bucket that large means near-identical content en masse, which exact
-    dedup handles; verifying it would be O(b²) pairs)."""
+    dedup handles; verifying it would be O(b²) pairs).  ``num_buckets``
+    as in ``minhash_lsh_pairs`` (auto-sized when ``None``)."""
+    num_buckets = _resolve_num_buckets(ds, num_buckets, 4)
     stage = SimHashStage(text_col, id_col)
     signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -844,7 +947,7 @@ def simhash_pairs(
                 pa.table(
                     {
                         "chunk_key": batch.column(f"chunk_{c}"),
-                        "bkt": pa.array((ck % 64).astype(np.int64), type=pa.int64()),
+                        "bkt": _mod_bucket_col(ck, num_buckets),
                         id_col: batch.column(id_col),
                         "simhash64": batch.column("simhash64"),
                     }
@@ -894,9 +997,7 @@ def simhash_pairs(
 
     def add_pair_bucket(tbl: pa.Table) -> pa.Table:
         a = tbl.column("id_a").to_numpy()
-        return tbl.append_column(
-            "pbkt", pa.array((a % 64).astype(np.int64), type=pa.int64())
-        )
+        return tbl.append_column("pbkt", _mod_bucket_col(a, num_buckets))
 
     def dedup_pairs(tbl: pa.Table) -> pa.Table:
         return (
@@ -999,6 +1100,7 @@ def embedding_near_dup_pairs(
     max_bucket_size: int = 4096,
     verify_block: int = 1024,
     carry_vectors: bool = True,
+    num_buckets: int | None = None,
 ):
     """Pairs with cosine similarity >= threshold via multi-table
     hyperplane-LSH buckets and chunked exact-cosine verification.
@@ -1019,12 +1121,16 @@ def embedding_near_dup_pairs(
       within buckets, and the two normalized vectors are joined back per
       PAIR (bucketed equi-join) for a vectorized cosine verify — shuffle
       volume drops from num_tables×vectors to 2×candidate-pairs.
+    * ``num_buckets`` as in ``minhash_lsh_pairs`` (auto-sized when
+      ``None``).
     """
+    num_buckets = _resolve_num_buckets(ds, num_buckets, num_tables)
     stage = HyperplaneStage(vec_col, id_col, dim, num_planes, num_tables)
     signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
     if not carry_vectors:
         return _embedding_near_dup_pairs_join(
-            signed, id_col, threshold, num_tables, max_bucket_size, verify_block
+            signed, id_col, threshold, num_tables, max_bucket_size, verify_block,
+            num_buckets=num_buckets,
         )
 
     def explode_tables(batch: pa.Table) -> pa.Table:
@@ -1036,10 +1142,7 @@ def embedding_near_dup_pairs(
                     {
                         "sig": batch.column(f"sig_{t}"),
                         # co-locating bucket: many sig buckets per reduce task
-                        "bkt": pa.array(
-                            (sig.view(np.uint64) % np.uint64(64)).astype(np.int64),
-                            type=pa.int64(),
-                        ),
+                        "bkt": _mod_bucket_col(sig, num_buckets),
                         id_col: batch.column(id_col),
                         "norm_vec": batch.column("norm_vec"),
                     }
@@ -1097,9 +1200,7 @@ def embedding_near_dup_pairs(
     # a pair can surface from several tables — distinct on (id_a, id_b)
     def add_pair_bucket(tbl: pa.Table) -> pa.Table:
         a = tbl.column("id_a").to_numpy()
-        return tbl.append_column(
-            "pbkt", pa.array((a % 64).astype(np.int64), type=pa.int64())
-        )
+        return tbl.append_column("pbkt", _mod_bucket_col(a, num_buckets))
 
     def dedup_pairs(tbl: pa.Table) -> pa.Table:
         return (

@@ -9,9 +9,14 @@ from_bytes} over pre-hashed numpy arrays, which is exactly the shape Ray
 Data needs for a mergeable UDAF — partial per block, associative merge in
 the shuffle, finalize at the end.
 
-Serialized family blobs carry a 4-byte magic prefix (``RHS`` + family code)
-so a mixed sink can be re-read family-by-family; the HLL core keeps its own
-storage-spec v1.0.0 bytes unprefixed for postgres/java interop.
+Serialized family blobs carry a 5-byte prefix (``RHS`` + family code +
+format version) so a mixed sink can be re-read family-by-family and a blob
+written by a different format revision of the same family fails LOUDLY at
+deserialization instead of merging silently-wrong (the r2 hash-stream rework
+changed MinHash/Bloom/count-min contents for the same seed — the version
+byte is the guard against exactly that class of corruption).  The HLL core
+keeps its own storage-spec v1.0.0 bytes unprefixed for postgres/java
+interop.
 """
 
 from __future__ import annotations
@@ -28,6 +33,10 @@ class Sketch(abc.ABC):
 
     #: one-byte family code used in the serialized header
     family_code: int = 0
+    #: one-byte per-family format version; bump whenever the family's hash
+    #: stream, permutation scheme, or payload layout changes (cross-version
+    #: merge = silent corruption; the frame check turns it into an error)
+    format_version: int = 2
 
     @abc.abstractmethod
     def add_batch(self, values: np.ndarray) -> None:
@@ -47,7 +56,7 @@ class Sketch(abc.ABC):
         ...
 
     def _frame(self, payload: bytes) -> bytes:
-        return MAGIC + bytes([self.family_code]) + payload
+        return MAGIC + bytes([self.family_code, self.format_version]) + payload
 
     @classmethod
     def _unframe(cls, data: bytes) -> bytes:
@@ -55,4 +64,10 @@ class Sketch(abc.ABC):
             raise ValueError(
                 f"not a {cls.__name__} blob (magic={data[:4]!r})"
             )
-        return data[4:]
+        if data[4] != cls.format_version:
+            raise ValueError(
+                f"{cls.__name__} blob is format v{data[4]}; this build reads "
+                f"v{cls.format_version} — re-serialize with a matching version "
+                "(cross-version merges would corrupt estimates silently)"
+            )
+        return data[5:]

@@ -986,3 +986,219 @@ def test_grouped_hash_sample_deterministic_uniformish(ray_session):
     # uniform-ish: sample mean of ids within 4 sigma of the population mean
     sigma = n / np.sqrt(12 * 300)
     assert abs(a.id.mean() - n / 2) < 4 * sigma
+
+
+# ----------------------------------------------------------------------
+# round-3: parameterized dedup fanout, null/uint64 top-k order, manifests
+
+
+def test_dedup_pairs_bucket_invariance(ray_session):
+    """Pair sets are byte-identical at num_buckets ∈ {4, 64, 512} for every
+    dedup family (the co-locating fanout only sizes reduce tasks; it must
+    never change results) — VERDICT r2 item 1."""
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import (
+        embedding_near_dup_pairs,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    docs = rd.from_arrow(_near_dup_docs())
+    base = _emb_table(np.arange(300, dtype=np.uint64))
+    mat = np.asarray(base.column("embedding").combine_chunks().flatten()).reshape(300, 8)
+    near = mat[:10] + 0.001
+    n, d = near.shape
+    extra = pa.table(
+        {
+            "vec_id": pa.array(np.arange(10, dtype=np.int64) + 10_000),
+            "embedding": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32), type=pa.int32()),
+                pa.array(near.ravel(), type=pa.float64()),
+            ),
+        }
+    )
+    vecs = rd.from_arrow(pa.concat_tables([base, extra]))
+
+    def key(df, val_col):
+        return sorted(map(tuple, df[["id_a", "id_b", val_col]].to_numpy()))
+
+    runs = {
+        "minhash_carry": lambda nb: key(
+            minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5, num_buckets=nb).to_pandas(),
+            "jaccard",
+        ),
+        "minhash_join": lambda nb: key(
+            minhash_lsh_pairs(
+                docs, "text", "doc_id", threshold=0.5, carry_signatures=False, num_buckets=nb
+            ).to_pandas(),
+            "jaccard",
+        ),
+        "simhash": lambda nb: key(
+            simhash_pairs(docs, "text", "doc_id", max_hamming=3, num_buckets=nb).to_pandas(),
+            "hamming",
+        ),
+        # cosine via BLAS matmul: accumulation order (hence the ~1e-13 tail)
+        # depends on the strip shape, so compare values with tolerance
+        "embedding": lambda nb: key(
+            embedding_near_dup_pairs(
+                vecs, "embedding", "vec_id", dim=8, threshold=0.99, num_buckets=nb
+            ).to_pandas(),
+            "cosine",
+        ),
+    }
+    for name, run in runs.items():
+        at_4, at_64, at_512 = run(4), run(64), run(512)
+        assert len(at_64) > 0, name
+        if name == "embedding":
+            for other in (at_4, at_512):
+                assert [r[:2] for r in other] == [r[:2] for r in at_64], name
+                assert np.allclose(
+                    [r[2] for r in other], [r[2] for r in at_64], atol=1e-9
+                ), name
+        else:
+            assert at_4 == at_64 == at_512, name
+
+
+def test_resolve_num_buckets_heuristic(ray_session):
+    """Auto fanout targets ~TARGET_ROWS_PER_TASK exploded rows per reduce
+    task: floor 64, power of two, capped, explicit value wins."""
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import TARGET_ROWS_PER_TASK, _resolve_num_buckets
+
+    small = rd.range(1000)
+    assert _resolve_num_buckets(small, None, 32) == 64  # floor
+    assert _resolve_num_buckets(small, 7, 32) == 7  # explicit wins
+    with pytest.raises(ValueError):
+        _resolve_num_buckets(small, 0, 32)
+
+    class FakeCount:
+        def __init__(self, n):
+            self._n = n
+
+        def count(self):
+            return self._n
+
+    # 1e9 docs x 32 bands = 3.2e10 rows -> 16384 tasks of ~2M rows
+    got = _resolve_num_buckets(FakeCount(1_000_000_000), None, 32)
+    assert got * TARGET_ROWS_PER_TASK >= 32_000_000_000
+    assert got & (got - 1) == 0  # power of two
+    # absurd scale stays under the 2^20 cap
+    assert _resolve_num_buckets(FakeCount(10**13), None, 32) == 1 << 20
+
+    class Broken:
+        def count(self):
+            raise RuntimeError("plan must execute")
+
+    assert _resolve_num_buckets(Broken(), None, 32) == 64  # safe fallback
+
+
+def test_ngram_jaccard_nondefault_gram(ray_session):
+    """gram is forwarded to the LSH candidate stage (ADVICE r2): at gram=5
+    the exact pairs match a direct python 5-gram oracle, including pairs
+    whose 5-gram similarity differs from their 3-gram similarity."""
+    import re
+
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import ngram_jaccard_pairs
+    from rayhll.pipelines.text import TOKEN_PATTERN
+
+    tbl = _near_dup_docs()
+    ds = rd.from_arrow(tbl)
+    got = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.5, gram=5).to_pandas()
+    got_pairs = {(a, b): j for a, b, j in zip(got.id_a, got.id_b, got.jaccard)}
+
+    pat = re.compile(TOKEN_PATTERN)
+
+    def shingles(text, g=5):
+        toks = pat.findall(text)
+        if len(toks) < g:
+            return set(toks)
+        return {tuple(toks[i : i + g]) for i in range(len(toks) - g + 1)}
+
+    rows = tbl.to_pylist()
+    want = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            A, B = shingles(rows[i]["text"]), shingles(rows[j]["text"])
+            jac = len(A & B) / len(A | B) if A | B else 1.0
+            if jac >= 0.5:
+                a, b = sorted((rows[i]["doc_id"], rows[j]["doc_id"]))
+                want[(a, b)] = jac
+    assert set(got_pairs) == set(want) and len(want) > 0
+    for k in want:
+        assert got_pairs[k] == pytest.approx(want[k], abs=1e-12), k
+
+
+def test_sig_store_manifest_guard(ray_session, tmp_path):
+    """Reusing a signature store built with different parameters raises
+    instead of silently producing wrong pairs (ADVICE r2)."""
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import minhash_lsh_pairs
+
+    ds = rd.from_arrow(_near_dup_docs())
+    store = str(tmp_path / "sigs")
+    minhash_lsh_pairs(
+        ds, "text", "doc_id", threshold=0.5, carry_signatures=False, sig_store_dir=store
+    ).to_pandas()
+    assert (tmp_path / "sigs" / "_MANIFEST.json").exists()
+    with pytest.raises(ValueError, match="was built with"):
+        minhash_lsh_pairs(
+            ds,
+            "text",
+            "doc_id",
+            threshold=0.5,
+            gram=5,  # mismatched shingling
+            carry_signatures=False,
+            sig_store_dir=store,
+        ).to_pandas()
+    # a manifest-less (pre-manifest / foreign) store is also rejected
+    (tmp_path / "sigs" / "_MANIFEST.json").unlink()
+    with pytest.raises(ValueError, match="no _MANIFEST"):
+        minhash_lsh_pairs(
+            ds, "text", "doc_id", threshold=0.5, carry_signatures=False, sig_store_dir=store
+        ).to_pandas()
+
+
+def test_grouped_top_k_uint64_and_nulls(ray_session):
+    """Order columns: uint64 values >= 2^63 keep true order (no signed
+    wrap), and nulls place last in both directions (ADVICE r2)."""
+    import ray.data as rd
+
+    from rayhll.functions.sample import grouped_top_k
+
+    big = np.array(
+        [2**63 + 5, 2**63 + 1, 7, 2**64 - 1, 100, 3], dtype=np.uint64
+    )
+    t = pa.table(
+        {
+            "g": pa.array(np.zeros(6, dtype=np.int64)),
+            "id": pa.array(np.arange(6, dtype=np.int64)),
+            "o": pa.array(big, type=pa.uint64()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    lo = grouped_top_k(ds, "g", "o", k=2).to_pandas()
+    assert sorted(lo.id) == [2, 5]  # 3 and 7, NOT the 2^63+ values
+    hi = grouped_top_k(ds, "g", "o", k=2, descending=True).to_pandas()
+    assert sorted(hi.id) == [0, 3]  # 2^64-1 and 2^63+5
+
+    # nulls last: ascending AND descending never pick the null row at k<n
+    tn = pa.table(
+        {
+            "g": pa.array(np.zeros(4, dtype=np.int64)),
+            "id": pa.array(np.arange(4, dtype=np.int64)),
+            "o": pa.array([5, None, 1, 9], type=pa.int64()),
+        }
+    )
+    dn = rd.from_arrow(tn)
+    asc = grouped_top_k(dn, "g", "o", k=3).to_pandas()
+    assert sorted(asc.id) == [0, 2, 3]
+    desc = grouped_top_k(dn, "g", "o", k=3, descending=True).to_pandas()
+    assert sorted(desc.id) == [0, 2, 3]
+    # with k == n the null row IS returned (it's a selection, not a filter)
+    all_rows = grouped_top_k(dn, "g", "o", k=4).to_pandas()
+    assert sorted(all_rows.id) == [0, 1, 2, 3]

@@ -248,3 +248,23 @@ def test_theta_set_operations_beat_inclusion_exclusion_shape():
     assert abs(a.difference_estimate(b) - (exact_a - exact_i)) / (exact_a - exact_i) < 0.08
     true_j = exact_i / exact_u
     assert abs(a.jaccard_estimate(b) - true_j) < 0.05
+
+
+def test_rhs_frame_version_guard():
+    """A blob framed with a different format version fails LOUDLY at
+    from_bytes — cross-version merges would corrupt estimates silently
+    (ADVICE r2: the r2 hash-stream rework changed signature contents for
+    the same seed)."""
+    import numpy as np
+
+    from rayhll.sketches.base import Sketch
+    from rayhll.sketches.minhash import MinHash
+
+    mh = MinHash(num_perm=16)
+    mh.add_batch(np.arange(100, dtype=np.int64))
+    blob = mh.to_bytes()
+    assert blob[:3] == b"RHS" and blob[4] == Sketch.format_version
+    assert MinHash.from_bytes(blob).jaccard(mh) == 1.0
+    stale = blob[:4] + bytes([Sketch.format_version - 1]) + blob[5:]
+    with pytest.raises(ValueError, match="format v"):
+        MinHash.from_bytes(stale)

@@ -772,37 +772,57 @@ def _q_embedding_near_dup_pairs(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
-    """Multimodal decode+feature pipeline over synthetic binary assets
-    (deterministic fake decoder), ORACLE-GATED on the (asset_id, media_type)
-    output surface — the synth table's media assignment is SQL-expressible."""
+    """Multimodal decode+feature pipeline over synthetic REAL media payloads
+    (BMP/PPM images, PCM WAVs, raw-RGB24 video) with the pure-numpy decoder,
+    ORACLE-GATED on the (asset_id, media_type) output surface — the synth
+    table's media assignment is SQL-expressible."""
     import ray.data as rd
 
-    from rayhll.pipelines.multimodal import multimodal_pipeline, synth_asset_table
+    from rayhll.pipelines.multimodal import multimodal_pipeline, synth_media_table
 
-    ds = rd.from_arrow(synth_asset_table(200))
-    return multimodal_pipeline(ds, decoder="fake").select_columns(
+    ds = rd.from_arrow(synth_media_table(200))
+    return multimodal_pipeline(ds, decoder="numpy").select_columns(
         ["asset_id", "media_type"]
     )
 
 
+def _q_multimodal_decode_meta(sf_dir: str):
+    """DecodeStage metadata recovery over real payloads, ORACLE-GATED: every
+    synthetic asset must parse (decode_ok), and the WAV sample rate (8000,
+    read from the fmt chunk — the table's metadata column holds -1) must be
+    recovered for exactly the audio rows."""
+    import ray.data as rd
+
+    from rayhll.pipelines.multimodal import DecodeStage, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(200))
+    decoded = ds.map_batches(
+        DecodeStage(decoder="numpy"), batch_format="pyarrow", batch_size=256
+    )
+    return decoded.select_columns(["asset_id", "media_type", "decode_ok", "sample_rate"])
+
+
 def _q_multimodal_video_frames(sf_dir: str):
-    """Frame-sampling stage over the synthetic asset table's videos,
-    ORACLE-GATED on the (asset_id, frame_idx) fan-out surface: every video
-    (asset_id % 3 == 2) yields exactly frames 0..3 (deterministic fake
-    sampler; flat_map-style one-row-per-frame output)."""
+    """Frame-sampling stage over the synthetic asset table's videos with the
+    REAL raw-RGB24 decoder, ORACLE-GATED on the (asset_id, frame_idx) fan-out
+    surface: every video (asset_id % 3 == 2) decodes to >= 2 frames and
+    uniform sampling yields exactly frames 0..3 (one output row per frame,
+    each re-encoded as BMP)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from rayhll.pipelines.multimodal import FrameSampleStage, synth_asset_table
+    from rayhll.pipelines.multimodal import FrameSampleStage, synth_media_table
 
-    ds = rd.from_arrow(synth_asset_table(200))
+    ds = rd.from_arrow(synth_media_table(200))
     videos = ds.map_batches(
         lambda t: t.filter(pc.equal(t.column("media_type"), "video")),
         batch_format="pyarrow",
     )
     frames = videos.map_batches(
-        FrameSampleStage(frames_per_video=4), batch_format="pyarrow", batch_size=256
+        FrameSampleStage(frames_per_video=4, decoder="numpy"),
+        batch_format="pyarrow",
+        batch_size=256,
     )
     return frames.select_columns(["asset_id", "frame_idx"])
 
@@ -1062,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": _q_fingerprint_documents,
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_decode_meta": _q_multimodal_decode_meta,
         "multimodal_video_frames": _q_multimodal_video_frames,
         "window_tumbling_distinct_users": _q_window_tumbling_distinct_users,
         "window_sliding_distinct_users": _q_window_sliding_distinct_users,
@@ -1244,6 +1265,12 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": (
             "SELECT CAST(r AS BIGINT) AS asset_id, CASE r % 3 WHEN 0 THEN 'image' "
             "WHEN 1 THEN 'audio' ELSE 'video' END AS media_type FROM range(200) t(r)"
+        ),
+        "multimodal_decode_meta": (
+            "SELECT CAST(r AS BIGINT) AS asset_id, CASE r % 3 WHEN 0 THEN 'image' "
+            "WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, TRUE AS decode_ok, "
+            "CAST(CASE WHEN r % 3 = 1 THEN 8000 ELSE -1 END AS INTEGER) AS sample_rate "
+            "FROM range(200) t(r)"
         ),
         "multimodal_video_frames": (
             "SELECT CAST(r AS BIGINT) AS asset_id, CAST(f AS INTEGER) AS frame_idx "

@@ -1,17 +1,20 @@
-"""Multimodal (binary-payload) pipeline plumbing.
+"""Multimodal (binary-payload) pipeline stages.
 
 Images / audio / video are opaque ``binary`` columns with typed metadata
-columns alongside.  The Ray-side plumbing — schemas, actor-pool stage
-signatures, small-batch sizing for wide rows, output layout — is real and
-tested; the codec work itself is STUBBED because no image/audio libraries
-exist in this container:
+columns alongside.  Three decoder modes:
 
-* with ``decoder="fake"`` (default) the stages produce deterministic fake
-  features derived from the payload bytes, so pipelines and tests exercise
-  the full data path;
-* with ``decoder="real"`` the stages raise ``NotImplementedError`` at the
-  exact call site where a real codec (Pillow / libsndfile / pyav) would be
-  invoked — swap the marked function and everything else stands.
+* ``decoder="numpy"`` (default) — REAL decoding of uncompressed formats in
+  pure numpy via :mod:`rayhll.functions.codecs`: BMP / binary PPM-PGM
+  images, RIFF PCM WAV audio, and concatenated-RGB24 raw video.  Decode,
+  feature-extract, nearest-neighbor resize and frame sampling all operate
+  on actual pixels/samples.
+* ``decoder="fake"`` — deterministic features derived from the payload
+  sha256; exercises the full data path for arbitrary (even compressed)
+  payloads without codec libraries.
+* ``decoder="real"`` — raises ``NotImplementedError`` at the exact call
+  site where a codec library (Pillow / libsndfile / pyav) would handle
+  compressed formats (JPEG/FLAC/H.264); those libraries are not in this
+  container.  Swap the marked function and everything else stands.
 
 Batch sizing note (memory-aware): payload rows are wide, so these stages
 default to ``batch_size=256`` and actor pools; at 100 TB keep
@@ -21,9 +24,12 @@ default to ``batch_size=256`` and actor pools; at 100 TB keep
 from __future__ import annotations
 
 import hashlib
+from struct import error as struct_error
 
 import numpy as np
 import pyarrow as pa
+
+from rayhll.functions import codecs
 
 #: Arrow schema for a multimodal asset table.
 ASSET_SCHEMA = pa.schema(
@@ -42,11 +48,13 @@ RECOMMENDED_BATCH_SIZE = 256
 
 
 def _real_decode_stub(media_type: str) -> None:
-    # STUB: a real deployment decodes here (Pillow for images, soundfile for
-    # audio, pyav for video).  Those libraries are not in this container.
+    # Compressed-format swap point: a deployment with codec libraries
+    # (Pillow for images, soundfile for audio, pyav for video) decodes
+    # here.  Uncompressed formats are handled for real by decoder="numpy".
     raise NotImplementedError(
-        f"real {media_type} decoding requires a codec library not present in "
-        "this environment; use decoder='fake' for the deterministic test path"
+        f"real {media_type} decoding of compressed formats requires a codec "
+        "library not present in this environment; use decoder='numpy' for "
+        "BMP/PPM/WAV/rawvideo or decoder='fake' for the digest-feature path"
     )
 
 
@@ -60,57 +68,153 @@ def _fake_features(payloads: list[bytes], dim: int) -> np.ndarray:
     return out
 
 
-class DecodeStage:
-    """Actor-pool stage: payload -> decoded metadata (+ validity flag)."""
+def _numpy_decode_one(media: str, payload: bytes, w: int, h: int):
+    """Decode one payload; returns (ok, width, height, sample_rate,
+    duration_ms).  Per-row loop is inherent: payloads are variable-format
+    opaque blobs (the per-row work is O(payload), decode-bound)."""
+    try:
+        if media == "image":
+            img = codecs.decode_image(payload)
+            return True, img.shape[1], img.shape[0], -1, -1
+        if media == "audio":
+            samples, rate = codecs.decode_wav(payload)
+            return True, -1, -1, rate, int(round(len(samples) * 1000 / rate))
+        if media == "video":
+            frames = codecs.decode_rawvideo(payload, w, h)
+            return len(frames) > 0, w, h, -1, len(frames) * 40  # 25 fps nominal
+    except (ValueError, struct_error):
+        pass
+    return False, -1, -1, -1, -1
 
-    def __init__(self, decoder: str = "fake"):
+
+class DecodeStage:
+    """Actor-pool stage: payload -> decoded metadata (+ validity flag).
+
+    ``numpy`` mode really parses each container and rewrites the metadata
+    columns from the payload (width/height from the BMP/PPM header, sample
+    rate and duration from the WAV chunks, frame count for raw video);
+    ``decode_ok`` is the parse verdict, not a size check."""
+
+    def __init__(self, decoder: str = "numpy"):
         self.decoder = decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decoder == "real":
-            _real_decode_stub(batch.column("media_type")[0].as_py())
+        n = len(batch)
         payloads = batch.column("payload").to_pylist()
+        if self.decoder == "numpy":
+            media = batch.column("media_type").to_pylist()
+            ws = batch.column("width").to_numpy()
+            hs = batch.column("height").to_numpy()
+            ok = np.empty(n, dtype=bool)
+            meta = np.empty((n, 4), dtype=np.int64)
+            for i in range(n):
+                ok[i], *meta[i] = _numpy_decode_one(
+                    media[i], payloads[i] or b"", int(ws[i]), int(hs[i])
+                )
+            out = batch.drop_columns(["width", "height", "sample_rate", "duration_ms"])
+            for j, name in enumerate(("width", "height", "sample_rate", "duration_ms")):
+                out = out.append_column(name, pa.array(meta[:, j], type=pa.int32()))
+        else:
+            if self.decoder == "real":
+                _real_decode_stub(batch.column("media_type")[0].as_py())
+            ok = np.array([len(p or b"") > 0 for p in payloads], dtype=bool)
+            out = batch
         sizes = np.array([len(p or b"") for p in payloads], dtype=np.int64)
-        valid = sizes > 0
-        return batch.append_column(
+        return out.append_column(
             "payload_bytes", pa.array(sizes, type=pa.int64())
-        ).append_column("decode_ok", pa.array(valid, type=pa.bool_()))
+        ).append_column("decode_ok", pa.array(ok, type=pa.bool_()))
 
 
 class FeatureExtractStage:
     """Actor-pool stage: payload -> fixed-dim feature embedding.
 
     In a real deployment the model loads once per actor in ``__init__``
-    (that contract is what this class demonstrates); the fake path derives
+    (that contract is what this class demonstrates).  ``numpy`` mode
+    computes content features from decoded media: an 8x8 grayscale block
+    grid for images / first video frame, per-window RMS band energy for
+    audio; undecodable payloads get a zero vector.  ``fake`` derives
     deterministic features from the payload digest."""
 
-    def __init__(self, dim: int = 64, decoder: str = "fake"):
+    def __init__(self, dim: int = 64, decoder: str = "numpy"):
         self.dim = dim
         self.decoder = decoder
+        self._grid = max(1, int(np.sqrt(dim)))
         # model-load would happen HERE, once per actor
 
+    def _numpy_one(self, media: str, payload: bytes, w: int, h: int) -> np.ndarray:
+        try:
+            if media == "image":
+                rgb = codecs.decode_image(payload)
+            elif media == "audio":
+                samples, _ = codecs.decode_wav(payload)
+                return codecs.audio_band_energy(samples, bands=self.dim)
+            elif media == "video":
+                frames = codecs.decode_rawvideo(payload, w, h)
+                if len(frames) == 0:
+                    return np.zeros(self.dim, dtype=np.float32)
+                rgb = frames[0]
+            else:
+                return np.zeros(self.dim, dtype=np.float32)
+            feats = codecs.image_grid_features(rgb, grid=self._grid)
+            out = np.zeros(self.dim, dtype=np.float32)
+            out[: min(self.dim, len(feats))] = feats[: self.dim]
+            return out
+        except (ValueError, struct_error):
+            return np.zeros(self.dim, dtype=np.float32)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decoder == "real":
-            _real_decode_stub("feature-extract")
-        feats = _fake_features(batch.column("payload").to_pylist(), self.dim)
+        payloads = batch.column("payload").to_pylist()
+        if self.decoder == "numpy":
+            media = batch.column("media_type").to_pylist()
+            ws = batch.column("width").to_numpy()
+            hs = batch.column("height").to_numpy()
+            feats = np.stack(
+                [
+                    self._numpy_one(m, p or b"", int(w), int(h))
+                    for m, p, w, h in zip(media, payloads, ws, hs)
+                ]
+            ) if len(batch) else np.empty((0, self.dim), dtype=np.float32)
+        else:
+            if self.decoder == "real":
+                _real_decode_stub("feature-extract")
+            feats = _fake_features(payloads, self.dim)
         return batch.select(["asset_id", "media_type"]).append_column(
             "features", pa.array(list(feats), type=pa.list_(pa.float32(), self.dim))
         )
 
 
 class ResizeStage:
-    """Actor-pool stage: image resize (stubbed transform, real plumbing)."""
+    """Actor-pool stage: image resize.  ``numpy`` mode decodes BMP/PPM,
+    nearest-neighbor resamples, and re-encodes as BMP (payload is really
+    rewritten); other modes pass the payload through with rewritten dims."""
 
-    def __init__(self, target_w: int = 224, target_h: int = 224, decoder: str = "fake"):
+    def __init__(self, target_w: int = 224, target_h: int = 224, decoder: str = "numpy"):
         self.target_w = target_w
         self.target_h = target_h
         self.decoder = decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
         if self.decoder == "real":
             _real_decode_stub("image")
-        # fake path: passthrough payload, rewritten dims
-        n = len(batch)
+        if self.decoder == "numpy":
+            payloads = batch.column("payload").to_pylist()
+            media = batch.column("media_type").to_pylist()
+            out_payloads = []
+            for m, p in zip(media, payloads):
+                p = p or b""
+                if m == "image":
+                    try:
+                        rgb = codecs.decode_image(p)
+                        p = codecs.encode_bmp(
+                            codecs.resize_nearest(rgb, self.target_w, self.target_h)
+                        )
+                    except (ValueError, struct_error):
+                        pass  # undecodable: passthrough
+                out_payloads.append(p)
+            batch = batch.drop_columns(["payload"]).append_column(
+                "payload", pa.array(out_payloads, type=pa.binary())
+            )
         return (
             batch.drop_columns(["width", "height"])
             .append_column("width", pa.array([self.target_w] * n, type=pa.int32()))
@@ -119,10 +223,12 @@ class ResizeStage:
 
 
 class FrameSampleStage:
-    """Actor-pool stage: sample N pseudo-frames per video payload
-    (flat_map-style: output has one row per sampled frame)."""
+    """Actor-pool stage: sample N frames per video payload (flat_map-style:
+    one output row per sampled frame).  ``numpy`` mode decodes the raw
+    RGB24 container and emits each sampled frame re-encoded as a BMP;
+    ``fake`` emits deterministic payload slices."""
 
-    def __init__(self, frames_per_video: int = 4, decoder: str = "fake"):
+    def __init__(self, frames_per_video: int = 4, decoder: str = "numpy"):
         self.frames = frames_per_video
         self.decoder = decoder
 
@@ -131,15 +237,35 @@ class FrameSampleStage:
             _real_decode_stub("video")
         ids = batch.column("asset_id").to_numpy()
         payloads = batch.column("payload").to_pylist()
+        if self.decoder == "numpy":
+            ws = batch.column("width").to_numpy()
+            hs = batch.column("height").to_numpy()
         out_ids, out_frame, out_blob = [], [], []
-        for aid, p in zip(ids.tolist(), payloads):
+        for i, (aid, p) in enumerate(zip(ids.tolist(), payloads)):
             p = p or b""
-            step = max(1, len(p) // self.frames)
-            for f in range(self.frames):
-                out_ids.append(aid)
-                out_frame.append(f)
-                # fake frame: a deterministic slice of the payload
-                out_blob.append(p[f * step : f * step + min(step, 4096)])
+            if self.decoder == "numpy":
+                try:
+                    frames = codecs.decode_rawvideo(p, int(ws[i]), int(hs[i]))
+                except (ValueError, struct_error):
+                    continue
+                if len(frames) == 0:
+                    continue
+                # uniform temporal sampling over the real frame sequence
+                picks = np.minimum(
+                    (np.arange(self.frames) * len(frames)) // self.frames,
+                    len(frames) - 1,
+                )
+                for f, fi in enumerate(picks.tolist()):
+                    out_ids.append(aid)
+                    out_frame.append(f)
+                    out_blob.append(codecs.encode_bmp(frames[fi]))
+            else:
+                step = max(1, len(p) // self.frames)
+                for f in range(self.frames):
+                    out_ids.append(aid)
+                    out_frame.append(f)
+                    # fake frame: a deterministic slice of the payload
+                    out_blob.append(p[f * step : f * step + min(step, 4096)])
         return pa.table(
             {
                 "asset_id": pa.array(out_ids, type=pa.int64()),
@@ -150,7 +276,8 @@ class FrameSampleStage:
 
 
 def synth_asset_table(n: int, seed: int = 7) -> pa.Table:
-    """Deterministic asset table for tests (payload = seeded bytes)."""
+    """Deterministic asset table of OPAQUE payloads (seeded random bytes)
+    for the digest-feature (``fake``) path."""
     rng = np.random.default_rng(seed)
     payloads = [rng.integers(0, 256, size=int(sz), dtype=np.uint8).tobytes() for sz in rng.integers(512, 8192, size=n)]
     media = [("image", "audio", "video")[i % 3] for i in range(n)]
@@ -167,7 +294,50 @@ def synth_asset_table(n: int, seed: int = 7) -> pa.Table:
     )
 
 
-def multimodal_pipeline(ds, decoder: str = "fake", concurrency: int | None = None):
+def synth_media_table(n: int, seed: int = 7) -> pa.Table:
+    """Deterministic asset table of REAL decodable payloads for the
+    ``numpy`` decoder path: BMP images, 16-bit PCM WAVs, raw-RGB24 video.
+    Dim/rate metadata columns intentionally hold -1 sentinels except video
+    dims (which raw RGB24 genuinely needs) — DecodeStage must recover the
+    true values from the payloads."""
+    rng = np.random.default_rng(seed)
+    ids, media, payloads, ws, hs, rates, durs = [], [], [], [], [], [], []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        ids.append(i)
+        media.append(kind)
+        if kind == "image":
+            w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(codecs.encode_bmp(img) if i % 2 == 0 else codecs.encode_ppm(img))
+            ws.append(-1); hs.append(-1); rates.append(-1); durs.append(-1)
+        elif kind == "audio":
+            rate = 8000
+            samples = (
+                rng.integers(-20000, 20000, size=int(rng.integers(100, 2000)))
+            ).astype(np.int16)
+            payloads.append(codecs.encode_wav(samples, rate))
+            ws.append(-1); hs.append(-1); rates.append(-1); durs.append(-1)
+        else:
+            w, h = 16, 12
+            nf = int(rng.integers(2, 9))
+            frames = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+            payloads.append(codecs.encode_rawvideo(frames))
+            ws.append(w); hs.append(h); rates.append(-1); durs.append(-1)
+    return pa.table(
+        {
+            "asset_id": pa.array(ids, type=pa.int64()),
+            "media_type": pa.array(media, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array(ws, type=pa.int32()),
+            "height": pa.array(hs, type=pa.int32()),
+            "sample_rate": pa.array(rates, type=pa.int32()),
+            "duration_ms": pa.array(durs, type=pa.int32()),
+        }
+    )
+
+
+def multimodal_pipeline(ds, decoder: str = "numpy", concurrency: int | None = None):
     """decode -> feature-extract over an asset dataset (actor pools when
     ``concurrency`` given); returns the feature dataset."""
     kwargs = dict(

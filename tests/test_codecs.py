@@ -1,0 +1,248 @@
+"""Pure-numpy codec round-trips and the real (numpy-decoder) multimodal path.
+
+Pixel/sample values are asserted EXACTLY — these are lossless uncompressed
+formats, so any off-by-one in padding/stride/channel order fails loudly.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from rayhll.functions import codecs
+
+
+rng = np.random.default_rng(1234)
+
+
+@pytest.mark.parametrize("shape", [(3, 5), (1, 1), (7, 4), (16, 16), (3, 2)])
+def test_bmp_roundtrip_exact(shape):
+    img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    data = codecs.encode_bmp(img)
+    out = codecs.decode_bmp(data)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_bmp_top_down_rows():
+    img = rng.integers(0, 256, size=(4, 3, 3), dtype=np.uint8)
+    data = bytearray(codecs.encode_bmp(img[::-1]))  # encode flipped, then
+    import struct
+
+    # rewrite height negative -> top-down; raster rows are now top-first
+    struct.pack_into("<i", data, 22, -4)
+    out = codecs.decode_bmp(bytes(data))
+    np.testing.assert_array_equal(out, img[::-1][::-1])  # == img reversed twice
+    # explicit: top-down raster read in file order
+    assert out.shape == (4, 3, 3)
+
+
+def test_bmp_rejects_non_bmp_and_unsupported():
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(b"NOTABMP" + b"\x00" * 64)
+    img = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    data = bytearray(codecs.encode_bmp(img))
+    data[28] = 8  # bpp -> 8
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(bytes(data))
+
+
+def test_ppm_p6_p5_roundtrip_and_comments():
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(codecs.decode_ppm(codecs.encode_ppm(img)), img)
+    gray = rng.integers(0, 256, size=(4, 9), dtype=np.uint8)
+    np.testing.assert_array_equal(codecs.decode_ppm(codecs.encode_ppm(gray)), gray)
+    # header comments + odd whitespace
+    with_comment = b"P6\n# a comment\n 5 6 # trailing\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(codecs.decode_ppm(with_comment), img)
+
+
+def test_wav_roundtrip_pcm16_stereo():
+    samples = rng.integers(-30000, 30000, size=(500, 2)).astype(np.int16)
+    out, rate = codecs.decode_wav(codecs.encode_wav(samples, 44100))
+    assert rate == 44100
+    np.testing.assert_array_equal(out, samples)
+
+
+def test_wav_roundtrip_pcm8_mono_and_float32():
+    s8 = rng.integers(0, 256, size=300, dtype=np.uint8)
+    out, rate = codecs.decode_wav(codecs.encode_wav(s8, 8000))
+    assert rate == 8000
+    np.testing.assert_array_equal(out[:, 0], s8)
+    f32 = rng.standard_normal(256).astype(np.float32)
+    out, _ = codecs.decode_wav(codecs.encode_wav(f32, 16000))
+    np.testing.assert_array_equal(out[:, 0], f32)
+
+
+def test_wav_skips_unknown_chunks():
+    samples = np.arange(-50, 50, dtype=np.int16)
+    data = codecs.encode_wav(samples, 22050)
+    # splice a LIST chunk between fmt and data
+    import struct
+
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 6) + b"INFOab"
+    spliced = data[:fmt_end] + junk + data[fmt_end:]
+    # fix RIFF size
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    out, rate = codecs.decode_wav(spliced)
+    assert rate == 22050
+    np.testing.assert_array_equal(out[:, 0], samples)
+
+
+def test_rawvideo_roundtrip_and_partial_frame_drop():
+    frames = rng.integers(0, 256, size=(5, 6, 4, 3), dtype=np.uint8)
+    data = codecs.encode_rawvideo(frames)
+    np.testing.assert_array_equal(codecs.decode_rawvideo(data, 4, 6), frames)
+    # trailing partial frame dropped
+    np.testing.assert_array_equal(
+        codecs.decode_rawvideo(data + b"\x01\x02", 4, 6), frames
+    )
+
+
+def test_resize_nearest_exact():
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    half = codecs.resize_nearest(img, 2, 2)
+    np.testing.assert_array_equal(half, img[::2, ::2])
+    same = codecs.resize_nearest(img, 4, 4)
+    np.testing.assert_array_equal(same, img)
+    up = codecs.resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8, 3)
+    np.testing.assert_array_equal(up[::2, ::2], img)
+
+
+def test_image_grid_features_constant_image():
+    img = np.full((16, 16, 3), 128, dtype=np.uint8)
+    feats = codecs.image_grid_features(img, grid=8)
+    assert feats.shape == (64,)
+    np.testing.assert_allclose(feats, 128 / 255.0, rtol=1e-6)
+
+
+def test_image_grid_features_block_means():
+    # 2x2 grid over a 4x4 image: each block mean computable by hand
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:2, :2] = 255  # top-left block all white
+    feats = codecs.image_grid_features(img, grid=2)
+    np.testing.assert_allclose(feats, [1.0, 0.0, 0.0, 0.0], atol=1e-6)
+
+
+def test_audio_band_energy_constant_tone():
+    samples = np.full(1000, 16384, dtype=np.int16)  # 0.5 amplitude
+    bands = codecs.audio_band_energy(samples, bands=4)
+    np.testing.assert_allclose(bands, 0.5, rtol=1e-4)
+    assert codecs.audio_band_energy(np.array([], dtype=np.int16), 4).shape == (4,)
+
+
+def test_sniff_media():
+    img = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    assert codecs.sniff_media(codecs.encode_bmp(img)) == "bmp"
+    assert codecs.sniff_media(codecs.encode_ppm(img)) == "pnm"
+    assert codecs.sniff_media(codecs.encode_wav(np.zeros(4, np.int16), 8000)) == "wav"
+    assert codecs.sniff_media(b"\x00\x01\x02") is None
+
+
+# ----------------------------------------------------------------------
+# numpy-decoder multimodal stages (real decode end-to-end)
+
+
+def test_decode_stage_numpy_recovers_metadata():
+    from rayhll.pipelines.multimodal import DecodeStage, synth_media_table
+
+    tbl = synth_media_table(60)
+    out = DecodeStage(decoder="numpy")(tbl)
+    assert out.column("decode_ok").to_pylist() == [True] * 60
+    media = out.column("media_type").to_pylist()
+    rates = out.column("sample_rate").to_pylist()
+    ws = out.column("width").to_pylist()
+    for m, r, w, payload in zip(media, rates, ws, tbl.column("payload").to_pylist()):
+        if m == "audio":
+            assert r == 8000
+        else:
+            assert r == -1
+        if m == "image":
+            # width recovered from the payload header, not the (-1) metadata
+            assert w == codecs.decode_image(payload).shape[1]
+
+
+def test_feature_extract_stage_numpy_matches_direct():
+    from rayhll.pipelines.multimodal import FeatureExtractStage
+
+    img = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    samples = rng.integers(-1000, 1000, size=800).astype(np.int16)
+    tbl = pa.table(
+        {
+            "asset_id": pa.array([0, 1], type=pa.int64()),
+            "media_type": pa.array(["image", "audio"]),
+            "payload": pa.array(
+                [codecs.encode_bmp(img), codecs.encode_wav(samples, 8000)],
+                type=pa.binary(),
+            ),
+            "width": pa.array([-1, -1], type=pa.int32()),
+            "height": pa.array([-1, -1], type=pa.int32()),
+        }
+    )
+    out = FeatureExtractStage(dim=64, decoder="numpy")(tbl)
+    feats = np.array(out.column("features").to_pylist(), dtype=np.float32)
+    np.testing.assert_array_equal(feats[0], codecs.image_grid_features(img, grid=8))
+    np.testing.assert_array_equal(feats[1], codecs.audio_band_energy(samples, bands=64))
+
+
+def test_resize_stage_numpy_rewrites_payload():
+    from rayhll.pipelines.multimodal import ResizeStage
+
+    img = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    tbl = pa.table(
+        {
+            "asset_id": pa.array([0], type=pa.int64()),
+            "media_type": pa.array(["image"]),
+            "payload": pa.array([codecs.encode_ppm(img)], type=pa.binary()),
+            "width": pa.array([-1], type=pa.int32()),
+            "height": pa.array([-1], type=pa.int32()),
+        }
+    )
+    out = ResizeStage(target_w=4, target_h=5, decoder="numpy")(tbl)
+    resized = codecs.decode_bmp(out.column("payload")[0].as_py())
+    np.testing.assert_array_equal(resized, codecs.resize_nearest(img, 4, 5))
+    assert out.column("width").to_pylist() == [4]
+    assert out.column("height").to_pylist() == [5]
+
+
+def test_frame_sample_stage_numpy_exact_frames():
+    from rayhll.pipelines.multimodal import FrameSampleStage
+
+    frames = rng.integers(0, 256, size=(8, 6, 4, 3), dtype=np.uint8)
+    tbl = pa.table(
+        {
+            "asset_id": pa.array([7], type=pa.int64()),
+            "media_type": pa.array(["video"]),
+            "payload": pa.array([codecs.encode_rawvideo(frames)], type=pa.binary()),
+            "width": pa.array([4], type=pa.int32()),
+            "height": pa.array([6], type=pa.int32()),
+        }
+    )
+    out = FrameSampleStage(frames_per_video=4, decoder="numpy")(tbl)
+    assert out.column("frame_idx").to_pylist() == [0, 1, 2, 3]
+    # uniform sampling over 8 frames with 4 picks -> source frames 0,2,4,6
+    for row, src in enumerate([0, 2, 4, 6]):
+        got = codecs.decode_bmp(out.column("frame_payload")[row].as_py())
+        np.testing.assert_array_equal(got, frames[src])
+
+
+def test_multimodal_pipeline_numpy_end_to_end(ray_session):
+    import ray.data as rd
+
+    from rayhll.pipelines.multimodal import multimodal_pipeline, synth_media_table
+
+    tbl = synth_media_table(45)
+    feats = multimodal_pipeline(rd.from_arrow(tbl), decoder="numpy").to_pandas()
+    assert len(feats) == 45
+    assert set(feats.columns) == {"asset_id", "media_type", "features"}
+    mat = np.array(feats.sort_values("asset_id")["features"].tolist(), dtype=np.float32)
+    # real features: non-degenerate (images/audio have content)
+    assert np.isfinite(mat).all()
+    assert (np.abs(mat).sum(axis=1) > 0).all()
+    # deterministic across runs
+    feats2 = multimodal_pipeline(rd.from_arrow(tbl), decoder="numpy").to_pandas()
+    mat2 = np.array(
+        feats2.sort_values("asset_id")["features"].tolist(), dtype=np.float32
+    )
+    np.testing.assert_array_equal(mat, mat2)

@@ -258,7 +258,10 @@ def test_multimodal_pipeline_fake_and_real_stub(ray_session):
     )
     frames = (
         rd.from_arrow(assets)
-        .map_batches(FrameSampleStage(frames_per_video=3), batch_format="pyarrow")
+        .map_batches(
+            FrameSampleStage(frames_per_video=3, decoder="fake"),
+            batch_format="pyarrow",
+        )
         .count()
     )
     assert frames == 30 * 3

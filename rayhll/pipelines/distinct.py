@@ -163,13 +163,15 @@ def flagship_grouped(
     est_distinct_path, est_distinct_repo_commit, rows_in`` (plus the three
     serialized sketch columns when ``include_sketches``).
 
-    ``premerge_batch``: size of the optional local combiner stage between
-    build and shuffle — partial rows sharing a group hash within each
-    combiner batch merge before the sort, shrinking shuffle ROWS ~2.6× when
-    #groups ≈ build batch size (measured, PERF_NOTES #10) at a measured
-    ~15-18%% single-node CPU cost.  Default OFF: this sandbox's sort is
-    CPU-bound.  Turn ON (e.g. 262144) on real multi-node clusters where the
-    exchange is network-bound — there the byte reduction dominates."""
+    ``premerge_batch``: size of the local combiner stage between build and
+    shuffle — partial rows sharing a group hash within each combiner batch
+    merge before the sort, shrinking shuffle ROWS ~2.6× when #groups ≈
+    build batch size (measured, PERF_NOTES #10) at a measured ~15-18%%
+    single-node CPU cost.  ``None`` = cluster-aware AUTO: ON when the live
+    Ray cluster spans multiple nodes or $RAYHLL_NETWORK_BOUND is set (the
+    exchange is network-bound there, so the byte cut dominates), OFF on a
+    single node where the sort is CPU-bound; ``0`` forces off — see
+    ``stages.build.resolve_premerge_batch``."""
     if hash_content:
         ds = ds.map_batches(
             HashStage(), batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
@@ -184,6 +186,7 @@ def flagship_grouped(
         )
     else:
         partials = ds.map_batches(MultiKeyBuild(settings=settings, grouped=True), **kwargs)
+    premerge_batch = build_stage.resolve_premerge_batch(premerge_batch)
     if premerge_batch:
         pre = build_stage.make_local_premerge(list(GROUP_COLS), list(SKETCH_COLS))
         partials = partials.map_batches(

@@ -230,20 +230,29 @@ def heavy_hitters(
     k: int = 10,
     depth: int = 5,
     width: int = 1 << 14,
+    candidate_capacity: int = 4096,
 ):
     """Top-k frequent values via count-min + per-batch candidate tracking.
 
-    Each batch contributes its local top candidates (exact within batch);
-    the global count-min estimates each candidate's total count.  With
-    width >> #distinct this is exact; with adversarial width it
-    overestimates per count-min's guarantee.  Returns an Arrow table
-    ``(value, est_count)`` sorted by est_count desc, value asc (k rows).
+    Each batch contributes (a) its local top-``4k`` values and (b) EVERY
+    value whose in-batch count exceeds ``batch_rows / candidate_capacity``
+    — at most ``candidate_capacity`` values can clear that bar, and it
+    yields a layout-independent GUARANTEE (pinned by an adversarial
+    pytest): any value with global count > ``N / candidate_capacity`` must
+    exceed the bar in at least one batch (else its total would be at most
+    sum(n_i)/C = N/C), so it is always a candidate no matter how thinly
+    it is spread across batches.  The global count-min then scores each
+    candidate; with width >> #distinct the counts are exact, so top-k is
+    EXACT whenever the k-th frequency > N/candidate_capacity.  With
+    adversarial width count-min overestimates per its one-sided guarantee.
+    Returns an Arrow table ``(value, est_count)`` sorted by est_count
+    desc, value asc (k rows).
 
     The candidate reduce is DISTRIBUTED (VERDICT r1 item 2): candidates are
     hash-bucketed, each bucket deduplicates its values and scores them
     against the broadcast count-min (``ray.put`` once), keeping only its
     local top-k — the driver collects ≤ num_buckets * k rows, never the
-    O(#blocks * k) candidate set."""
+    O(#blocks * candidate_capacity) candidate set."""
     import polars as pl
 
     import ray
@@ -252,6 +261,7 @@ def heavy_hitters(
     from rayhll.sketches.countmin import CountMinSketch
 
     num_buckets = 64
+    cap = max(int(candidate_capacity), 4 * k)
 
     def build(batch: pa.Table) -> bytes:
         cm = CountMinSketch(depth, width)
@@ -260,13 +270,13 @@ def heavy_hitters(
 
     def candidates(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select([col]))
-        top = (
-            df.group_by(col)
-            .agg(pl.len().alias("c"))
-            .sort(["c", col], descending=[True, False])
-            .head(4 * k)
+        counts = df.group_by(col).agg(pl.len().alias("c"))
+        top = counts.sort(["c", col], descending=[True, False]).head(4 * k)
+        # frequency bar: c * cap > n  <=>  c > n / cap; <= cap survivors
+        frequent = counts.filter(pl.col("c") * cap > len(df))
+        out = (
+            pl.concat([top, frequent]).unique(subset=[col]).select([col]).to_arrow()
         )
-        out = top.select([col]).to_arrow()
         h = hash64_table(out, [col], seed=77)
         return out.append_column(
             "bkt",

@@ -157,11 +157,12 @@ def grouped_approx_distinct(
     each reduce task merges thousands of groups vectorized and per-group
     Python overhead never dominates.  Skew is bounded twice: a hot group
     costs O(#blocks) fixed-size sketch rows, and hot buckets spread across
-    ``num_buckets`` reducers.  An optional local combiner
-    (``premerge_batch``, default off) merges partial rows sharing a group
-    hash before the sort — 2.6x fewer shuffle rows when #groups approaches
-    the build batch size, at ~15-18%% single-node CPU cost; enable it on
-    network-bound clusters (PERF_NOTES #10-11)."""
+    ``num_buckets`` reducers.  A local combiner (``premerge_batch``) merges
+    partial rows sharing a group hash before the sort — 2.6x fewer shuffle
+    rows when #groups approaches the build batch size, at ~15-18%%
+    single-node CPU cost.  ``None`` = cluster-aware AUTO (on for multi-node
+    sessions / $RAYHLL_NETWORK_BOUND, off single-node), ``0`` = force off —
+    see ``stages.build.resolve_premerge_batch`` (PERF_NOTES #10-11)."""
     partials = build_partials(
         ds,
         key_cols,
@@ -172,9 +173,10 @@ def grouped_approx_distinct(
         concurrency=concurrency,
         ignore_nulls=ignore_nulls,
     )
-    if premerge_batch:
-        from rayhll.stages.build import make_local_premerge
+    from rayhll.stages.build import make_local_premerge, resolve_premerge_batch
 
+    premerge_batch = resolve_premerge_batch(premerge_batch)
+    if premerge_batch:
         pre = make_local_premerge(list(group_cols))
         partials = partials.map_batches(
             pre, batch_format="pyarrow", batch_size=premerge_batch

@@ -201,6 +201,42 @@ def make_bucket_merger(
     return merge_bucket
 
 
+#: env var marking the cluster's exchange as network-bound (any non-empty
+#: value): auto-resolution then enables the local combiner.
+NETWORK_BOUND_ENV = "RAYHLL_NETWORK_BOUND"
+DEFAULT_PREMERGE_BATCH = 262144
+
+
+def resolve_premerge_batch(premerge_batch) -> int | None:
+    """Cluster-aware default for the build->shuffle local combiner.
+
+    * explicit int > 0 — use that batch size;
+    * ``0`` / ``False`` — force OFF;
+    * ``None`` (default) — AUTO: on (at ``DEFAULT_PREMERGE_BATCH``) iff
+      ``$RAYHLL_NETWORK_BOUND`` is set non-empty OR the live Ray cluster
+      spans more than one node.  Rationale (PERF_NOTES #10-11, both A/B
+      orderings recorded): the combiner cuts shuffle ROWS ~2.6x but costs
+      ~15-18% extra local CPU, so it loses on a single node where the sort
+      is CPU-bound and wins when the exchange crosses a network.
+    """
+    import os
+
+    if premerge_batch is not None:
+        return int(premerge_batch) if premerge_batch else None
+    if os.environ.get(NETWORK_BOUND_ENV, ""):
+        return DEFAULT_PREMERGE_BATCH
+    try:
+        import ray
+
+        if ray.is_initialized():
+            alive = [n for n in ray.nodes() if n.get("Alive")]
+            if len(alive) > 1:
+                return DEFAULT_PREMERGE_BATCH
+    except Exception:
+        pass
+    return None
+
+
 def make_local_premerge(group_cols: list[str], sketch_cols: list[str] = (SKETCH_COL,)):
     """Combiner between build and shuffle: merge partial rows that share a
     group hash *within* a batch (no co-location assumed), shrinking the sort

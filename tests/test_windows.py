@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -93,6 +94,36 @@ def test_heavy_hitters(ray_session):
     ).df()
     assert got["event_type"] == want["event_type"].tolist()
     assert got["est_count"] == want["c"].tolist()
+
+
+def test_heavy_hitters_adversarial_spread(ray_session):
+    """A globally-heavy value spread so thin it NEVER appears in any
+    batch's local top-4k must still be found (the candidate stage's
+    frequency-bar guarantee: global count > N/candidate_capacity ->
+    candidate, regardless of batch layout)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.pipelines import windows
+
+    # 64 blocks; each block: 'hot' x5 plus 200 block-unique decoys x20.
+    # Local top-40 is all decoys (20 > 5), so the old top-4k-only candidate
+    # rule would drop 'hot' from every batch.  Globally: hot = 64*5 = 320,
+    # every decoy = 20 -> true top-1 is 'hot' by 16x.
+    blocks = []
+    for b in range(64):
+        vals = [f"d{b:02d}_{i:03d}" for i in range(200) for _ in range(20)]
+        vals += ["hot"] * 5
+        rng = np.random.default_rng(b)
+        order = rng.permutation(len(vals))
+        blocks.append(
+            pa.table({"v": pa.array([vals[i] for i in order], type=pa.string())})
+        )
+    ds = rd.from_arrow(blocks)
+    got = windows.heavy_hitters(ds, "v", k=3, width=1 << 17).to_pydict()
+    assert got["v"][0] == "hot"
+    assert got["est_count"][0] == 320
+    assert all(c == 20 for c in got["est_count"][1:])
 
 
 def test_grouped_tdigest_quantiles(ray_session):

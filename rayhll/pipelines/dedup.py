@@ -436,6 +436,60 @@ def _make_candidate_pairs_fn(key_col: str, id_col: str, max_bucket_size: int):
     return candidate_pairs
 
 
+def build_minhash_sig_store(
+    signed,
+    sig_store_dir: str,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    num_bands: int,
+    gram: int,
+) -> None:
+    """Write (or validate and reuse) the parquet signature store.
+
+    ``signed`` is a MinHashStage-output Dataset.  Resumability: an existing
+    store is REUSED (the signature pass is the expensive leg) — but only
+    when its ``_MANIFEST.json`` matches the parameters that determine
+    signature CONTENT (``format_version`` covers the MinHash permutation
+    scheme itself); a gram/num_perm/scheme mismatch would yield silently
+    wrong pairs, so it raises instead."""
+    import glob as _glob
+    import json
+    import os
+
+    from rayhll.sketches.base import Sketch
+
+    manifest = {
+        "format_version": Sketch.format_version,
+        "num_perm": num_perm,
+        "num_bands": num_bands,
+        "gram": gram,
+        "text_col": text_col,
+        "id_col": id_col,
+    }
+    manifest_path = os.path.join(sig_store_dir, "_MANIFEST.json")
+    if not _glob.glob(os.path.join(sig_store_dir, "*.parquet")):
+        signed.write_parquet(sig_store_dir)
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f)
+    else:
+        try:
+            with open(manifest_path) as f:
+                found = json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"signature store {sig_store_dir} has no _MANIFEST.json "
+                "(pre-manifest store?) — delete the directory to rebuild"
+            ) from None
+        if found != manifest:
+            raise ValueError(
+                f"signature store {sig_store_dir} was built with "
+                f"{found}, but this run needs {manifest} — delete the "
+                "directory to rebuild (reusing it would produce silently "
+                "wrong candidate pairs)"
+            )
+
+
 def _bucket_join_sig(pairs, sigs, id_col: str, key_col: str, out_sig_col: str, num_buckets: int = 64):
     """Attach ``sigs``' signature to each pair row matching on
     ``pairs[key_col] == sigs[id_col]`` — a sort-shuffle bucketed equi-join:
@@ -512,48 +566,11 @@ def _minhash_lsh_pairs_join(
     stage = MinHashStage(text_col, id_col, num_perm, num_bands, gram)
     signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
     if sig_store_dir is not None:
-        import glob as _glob
-        import json
-        import os
-
         import ray.data as rd
 
-        from rayhll.sketches.base import Sketch
-
-        # the parameters that determine signature CONTENT for a given input;
-        # format_version covers the MinHash permutation scheme itself
-        manifest = {
-            "format_version": Sketch.format_version,
-            "num_perm": num_perm,
-            "num_bands": num_bands,
-            "gram": gram,
-            "text_col": text_col,
-            "id_col": id_col,
-        }
-        manifest_path = os.path.join(sig_store_dir, "_MANIFEST.json")
-        # resumability: an existing store is REUSED (the signature pass is
-        # the expensive leg) — but only when its manifest matches; a gram/
-        # num_perm/scheme mismatch would yield silently wrong pairs.
-        if not _glob.glob(os.path.join(sig_store_dir, "*.parquet")):
-            signed.write_parquet(sig_store_dir)
-            with open(manifest_path, "w") as f:
-                json.dump(manifest, f)
-        else:
-            try:
-                with open(manifest_path) as f:
-                    found = json.load(f)
-            except FileNotFoundError:
-                raise ValueError(
-                    f"signature store {sig_store_dir} has no _MANIFEST.json "
-                    "(pre-manifest store?) — delete the directory to rebuild"
-                ) from None
-            if found != manifest:
-                raise ValueError(
-                    f"signature store {sig_store_dir} was built with "
-                    f"{found}, but this run needs {manifest} — delete the "
-                    "directory to rebuild (reusing it would produce silently "
-                    "wrong candidate pairs)"
-                )
+        build_minhash_sig_store(
+            signed, sig_store_dir, text_col, id_col, num_perm, num_bands, gram
+        )
         sigs = rd.read_parquet(sig_store_dir, columns=[id_col, "signature"])
         signed = rd.read_parquet(
             sig_store_dir, columns=[id_col] + [f"band_{b}" for b in range(num_bands)]

@@ -78,3 +78,67 @@ def test_manifest_atomicity(tmp_path):
     m2 = Manifest.load_or_create(str(tmp_path), "h", ["p1", "p2"])
     assert m2.partitions["p1"]["status"] == "done"
     assert m2.pending() == ["p2"]
+
+
+@pytest.fixture()
+def dup_docs_file(tmp_path):
+    """Documents with injected exact+near duplicates for dedup checkpointing."""
+    import duckdb
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    t = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{src}') "
+        "UNION ALL SELECT doc_id + 1000000, text FROM read_parquet('{}') "
+        "WHERE doc_id < 30".format(src)
+    ).arrow()
+    p = tmp_path / "docs.parquet"
+    pq.write_table(t, p)
+    return str(p)
+
+
+def test_dedup_crash_resume_byte_identical(ray_session, dup_docs_file, tmp_path):
+    from rayhll.state.checkpoint import minhash_dedup_checkpointed
+
+    clean_dir = str(tmp_path / "clean")
+    crash_dir = str(tmp_path / "crash")
+
+    clean = minhash_dedup_checkpointed([dup_docs_file], clean_dir, num_buckets=8)
+    assert clean.num_rows >= 30  # the planted exact dups are found
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        minhash_dedup_checkpointed([dup_docs_file], crash_dir, num_buckets=8, fail_after=3)
+    # crash left some buckets pending
+    mf = json.load(open(os.path.join(crash_dir, "manifest.json")))
+    assert any(p["status"] != "done" for p in mf["partitions"].values())
+
+    resumed = minhash_dedup_checkpointed([dup_docs_file], crash_dir, num_buckets=8)
+    assert resumed.equals(clean)
+    a = open(os.path.join(clean_dir, "result", "result.parquet"), "rb").read()
+    b = open(os.path.join(crash_dir, "result", "result.parquet"), "rb").read()
+    assert a == b
+    # resume reused the signature store (still exactly one manifest) and
+    # only re-ran pending buckets
+    mf2 = json.load(open(os.path.join(crash_dir, "manifest.json")))
+    attempts = [p["attempts"] for p in mf2["partitions"].values()]
+    assert attempts.count(1) == len(attempts)  # done buckets never re-ran
+
+
+def test_dedup_checkpointed_matches_streaming(ray_session, dup_docs_file, tmp_path):
+    """The checkpointed pair set equals minhash_lsh_pairs on the same input."""
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import minhash_lsh_pairs
+    from rayhll.state.checkpoint import minhash_dedup_checkpointed
+
+    ckpt = minhash_dedup_checkpointed(
+        [dup_docs_file], str(tmp_path / "out"), num_buckets=8, threshold=0.8
+    )
+    ds = rd.read_parquet(dup_docs_file, columns=["doc_id", "text"])
+    stream = (
+        minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.8)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    got = ckpt.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert got[["id_a", "id_b"]].values.tolist() == stream[["id_a", "id_b"]].values.tolist()

@@ -27,11 +27,29 @@ from __future__ import annotations
 import numpy as np
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from rayhll.functions.hashing import hash64_table
 
 _SIDE_COL = "_join_side"
 _BUCKET_COL = "_join_bkt"
+_RJ_BIN_COL = "_rj_bin"
+
+_GOLDEN64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _floor_bins(vals: np.ndarray, width) -> np.ndarray:
+    """floor(vals / width) as int64, exact for integer/temporal inputs.
+
+    Temporal numpy arrays (datetime64) are viewed as their int64 tick count
+    (so ``width`` is in the column's native unit, e.g. microseconds for
+    ``timestamp[us]``); float inputs use ``np.floor`` so negatives bin
+    toward -inf on both paths."""
+    if vals.dtype.kind in ("M", "m"):
+        vals = vals.view("int64")
+    if vals.dtype.kind in ("i", "u"):
+        return np.floor_divide(vals.astype(np.int64), np.int64(width))
+    return np.floor(vals.astype(np.float64) / float(width)).astype(np.int64)
 
 _HOWS = ("inner", "left", "semi", "anti")
 
@@ -144,6 +162,7 @@ def range_join(
     hi: str,
     num_buckets: int = 64,
     suffix: str = "_right",
+    bin_width=None,
 ):
     """Range (interval) join: left row matches right rows with equal ``by``
     keys and ``right[lo] <= left[on] <= right[hi]`` — inner-join semantics,
@@ -152,8 +171,23 @@ def range_join(
     Same bucketing scaffold as :func:`bucket_equi_join`; within a bucket the
     inequality join runs via polars ``join_where``.  A key whose intervals
     overlap many rows produces the true cross product (inherent to range
-    joins) — bound interval width or pre-bucket time ranges for hot keys.
-    Partitioning assumption: one ``by``-hash bucket per reduce task."""
+    joins).  Partitioning assumption (default path): one ``by``-hash bucket
+    per reduce task.
+
+    ``bin_width`` (hot-key salting): when set, the ``on`` domain is cut into
+    bins of that width (native column units — e.g. microseconds for
+    ``timestamp[us]``); each left row goes to its single bin, each right
+    interval is replicated to every bin it overlaps, and the co-locating
+    bucket hashes ``(by, bin)`` — so one degenerate hot key spreads across
+    ``min(num_buckets, domain/bin_width)`` reduce tasks instead of one
+    mega-task.  An in-bucket bin-equality predicate keeps every matched pair
+    exactly-once (a left row lives in exactly one bin and only meets the
+    replica for that bin), so the result set is identical to the unsalted
+    path — pinned by tests.  Cost: right rows replicate by
+    ``interval_width / bin_width``; pick ``bin_width`` near the typical
+    interval width (~1-2 replicas/row).  Rows with a null ``on``/``lo``/
+    ``hi`` can never satisfy the inequalities and are dropped at the map
+    stage on this path."""
     if isinstance(by, str):
         by = [by]
     left_schema = left.schema()
@@ -201,12 +235,35 @@ def range_join(
             else:
                 cols[name] = pa.nulls(n, type=typ)
         out = pa.table(cols)
+        if bin_width is not None:
+            if is_right:
+                lo_np = out.column(lo_dst).combine_chunks().to_numpy(zero_copy_only=False)
+                hi_np = out.column(hi_dst).combine_chunks().to_numpy(zero_copy_only=False)
+                valid = ~(pc.is_null(out.column(lo_dst)).to_numpy(zero_copy_only=False)
+                          | pc.is_null(out.column(hi_dst)).to_numpy(zero_copy_only=False))
+                b0 = _floor_bins(lo_np, bin_width)
+                b1 = _floor_bins(hi_np, bin_width)
+                counts = np.where(valid, np.maximum(b1 - b0 + 1, 0), 0)
+                idx = np.repeat(np.arange(len(out), dtype=np.int64), counts)
+                starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                bins = b0[idx] + (np.arange(len(idx), dtype=np.int64) - starts[idx])
+                out = out.take(idx)
+            else:
+                on_valid = ~pc.is_null(out.column(on)).to_numpy(zero_copy_only=False)
+                out = out.filter(pa.array(on_valid))
+                on_np = out.column(on).combine_chunks().to_numpy(zero_copy_only=False)
+                bins = _floor_bins(on_np, bin_width)
+            out = out.append_column(_RJ_BIN_COL, pa.array(bins, type=pa.int64()))
+        m = len(out)
         h = hash64_table(out, by, seed=0x7A27)
+        hv = h.view(np.uint64)
+        if bin_width is not None:
+            hv = hv ^ (bins.view(np.uint64) * _GOLDEN64)
         out = out.append_column(
             _BUCKET_COL,
-            pa.array((h.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)),
+            pa.array((hv % np.uint64(num_buckets)).astype(np.int64)),
         )
-        return out.append_column(_SIDE_COL, pa.array(np.full(n, is_right, dtype=bool)))
+        return out.append_column(_SIDE_COL, pa.array(np.full(m, is_right, dtype=bool)))
 
     tagged_left = left.map_batches(
         lambda t: pad(t, False), batch_format="pyarrow", zero_copy_batch=True
@@ -220,10 +277,14 @@ def range_join(
 
     def join_bucket(tbl: pa.Table) -> pa.Table:
         df = pl.from_arrow(tbl)
-        lhs = df.filter(~pl.col(_SIDE_COL)).select(left_names)
-        rhs = df.filter(pl.col(_SIDE_COL)).select([*by, *right_names])
+        extra = [_RJ_BIN_COL] if bin_width is not None else []
+        lhs = df.filter(~pl.col(_SIDE_COL)).select(left_names + extra)
+        rhs = df.filter(pl.col(_SIDE_COL)).select([*by, *right_names, *extra])
         preds = [pl.col(b) == pl.col(f"{b}{suffix}") for b in by]
         preds += [pl.col(on) >= pl.col(lo_dst), pl.col(on) <= pl.col(hi_dst)]
+        if bin_width is not None:
+            # exactly-once guard: a replica only matches left rows of its bin
+            preds.append(pl.col(_RJ_BIN_COL) == pl.col(_RJ_BIN_COL + suffix))
         out = lhs.join_where(rhs, *preds, suffix=suffix)
         return out.select(left_names + right_names).to_arrow()
 

@@ -684,12 +684,46 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
 
 
 def _q_simhash_fingerprints(sf_dir: str):
-    """64-bit SimHash per document (deterministic; rows-only)."""
+    """64-bit SimHash per document, ORACLE-GATED via semantic
+    self-verification: SimHash (Charikar 2002) is a statistic of the token
+    MULTISET, so reversing token order must leave the fingerprint unchanged,
+    and a fresh stage instance must reproduce it byte-for-byte.  ``sim_ok``
+    asserts both per document; the oracle is the all-TRUE table.  (Raw
+    fingerprints stay available via ``SimHashStage`` and the crafted
+    pair-set sibling ``simhash_dup_pairs_crafted``.)"""
+    import polars as pl
+    import pyarrow as pa
+
     from rayhll.pipelines.dedup import SimHashStage
+    from rayhll.pipelines.text import TOKEN_PATTERN
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(SimHashStage("text", "doc_id"), batch_format="pyarrow")
-    return out.select_columns(["doc_id", "simhash64"])
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        fwd = SimHashStage("text", "doc_id")(batch).column("simhash64").to_numpy()
+        rev_text = (
+            pl.from_arrow(batch.select(["text"]))
+            .select(
+                pl.col("text")
+                .fill_null("")
+                .str.extract_all(TOKEN_PATTERN)
+                .list.reverse()
+                .list.join(" ")
+                .alias("text")
+            )
+            .to_arrow()
+            .column("text")
+        )
+        rev_batch = pa.table({"doc_id": batch.column("doc_id"), "text": rev_text})
+        rev = SimHashStage("text", "doc_id")(rev_batch).column("simhash64").to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "sim_ok": pa.array(fwd == rev, type=pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(verdict, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_simhash_dup_pairs_crafted(sf_dir: str):
@@ -747,21 +781,98 @@ def _q_fingerprint_invariants_crafted(sf_dir: str):
 
 
 def _q_lang_id_documents(sf_dir: str):
-    """Heuristic language-ID (rows-only; accuracy tested on labeled snippets)."""
+    """Heuristic language-ID, ORACLE-GATED via contract self-verification:
+    per document, the prediction must come from the supported label set
+    ({en,de,es,fr,zh,und}), the confidence must be finite and >= 0, the
+    und-threshold contract must hold exactly (pred == 'und' iff
+    conf <= 0.02 — text.py:111), and a fresh stage instance must reproduce
+    both outputs.  ``lang_ok`` asserts all four; oracle = all-TRUE table.
+    Accuracy on labeled text is gated by ``lang_id_accuracy_snippets``."""
+    import numpy as np
+    import pyarrow as pa
+
     from rayhll.pipelines.text import LangId
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(LangId(), batch_format="pyarrow", zero_copy_batch=True)
-    return out.select_columns(["doc_id", "lang_pred", "lang_conf"])
+    valid = {"en", "de", "es", "fr", "zh", "und"}
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        a = LangId()(batch)
+        b = LangId()(batch)
+        pred = np.array(a.column("lang_pred").to_pylist(), dtype=object)
+        conf = a.column("lang_conf").to_numpy()
+        ok = (
+            np.isin(pred, list(valid))
+            & np.isfinite(conf)
+            & (conf >= 0)
+            & ((pred == "und") == (conf <= 0.02))
+            & (pred == np.array(b.column("lang_pred").to_pylist(), dtype=object))
+            & (conf == b.column("lang_conf").to_numpy())
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_ok": pa.array(ok, type=pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(verdict, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_fingerprint_documents(sf_dir: str):
-    """Winnowing-style fingerprints (deterministic; rows-only)."""
+    """Winnowing-style fingerprints, ORACLE-GATED via semantic
+    self-verification: ``shingle_min64`` is a token-3-gram statistic, so
+    padding the text with surrounding/extra whitespace must not change it,
+    while ``fingerprint64`` (full-text hash) MUST change under that edit;
+    both must be reproduced by a fresh stage instance.  ``fp_ok`` asserts
+    all three per document; oracle = all-TRUE table.  Edit-robustness pairs
+    are gated by ``fingerprint_invariants_crafted``."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
     from rayhll.pipelines.text import Fingerprint
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(Fingerprint(), batch_format="pyarrow", zero_copy_batch=True)
-    return out.select_columns(["doc_id", "fingerprint64", "shingle_min64"])
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        a = Fingerprint()(batch)
+        b = Fingerprint()(batch)
+        pdf = pl.from_arrow(batch.select(["text"]))
+        padded_text = (
+            pdf.select(("  " + pl.col("text").fill_null("") + " ").alias("text"))
+            .to_arrow()
+            .column("text")
+        )
+        n_tok = (
+            pdf.select(pl.col("text").fill_null("").str.count_matches(r"[A-Za-z0-9_]+"))
+            .to_numpy()
+            .ravel()
+        )
+        p = Fingerprint()(pa.table({"text": padded_text}))
+        fp_a = a.column("fingerprint64").to_numpy()
+        smin_a = a.column("shingle_min64").to_numpy()
+        # docs shorter than the 3-gram window use fingerprint64 as their
+        # shingle_min64 fallback (text.py:171), so padding-invariance only
+        # holds for >= 3-token docs; short docs must satisfy the fallback
+        long_doc = n_tok >= 3
+        pad_invariant = np.where(
+            long_doc, smin_a == p.column("shingle_min64").to_numpy(), smin_a == fp_a
+        )
+        ok = (
+            pad_invariant
+            & (fp_a != p.column("fingerprint64").to_numpy())
+            & (fp_a == b.column("fingerprint64").to_numpy())
+            & (smin_a == b.column("shingle_min64").to_numpy())
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fp_ok": pa.array(ok, type=pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(verdict, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_embedding_near_dup_pairs(sf_dir: str):
@@ -1360,6 +1471,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_sketch_hex_dump": (
             "SELECT lang, TRUE AS roundtrip_ok FROM documents GROUP BY lang"
+        ),
+        "simhash_fingerprints": (
+            "SELECT doc_id, TRUE AS sim_ok FROM documents"
+        ),
+        "lang_id_documents": (
+            "SELECT doc_id, TRUE AS lang_ok FROM documents"
+        ),
+        "fingerprint_documents": (
+            "SELECT doc_id, TRUE AS fp_ok FROM documents"
         ),
         "tdigest_price_by_returnflag": (
             "SELECT l_returnflag, TRUE AS p50_within_tol, TRUE AS p99_within_tol, "

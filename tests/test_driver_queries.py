@@ -53,3 +53,50 @@ def test_multimodal_decode_meta_all_ok(entry):
     audio = df[df["media_type"] == "audio"]
     assert (audio["sample_rate"] == 8000).all()
     assert (df[df["media_type"] != "audio"]["sample_rate"] == -1).all()
+
+
+def test_simhash_fingerprints_self_verified(entry):
+    """Order-invariance + fresh-instance reproducibility hold per doc."""
+    df = entry.queries()["simhash_fingerprints"](SF).to_pandas()
+    assert len(df) == 500 and sorted(df.columns) == ["doc_id", "sim_ok"]
+    assert df["sim_ok"].all()
+
+
+def test_lang_id_documents_self_verified(entry):
+    """Label-set membership, conf range, und-threshold contract, and
+    reproducibility hold per doc."""
+    df = entry.queries()["lang_id_documents"](SF).to_pandas()
+    assert len(df) == 500 and sorted(df.columns) == ["doc_id", "lang_ok"]
+    assert df["lang_ok"].all()
+
+
+def test_fingerprint_documents_self_verified(entry):
+    """Whitespace-padding invariance of shingle_min64, full-text-hash
+    sensitivity of fingerprint64, and reproducibility hold per doc."""
+    df = entry.queries()["fingerprint_documents"](SF).to_pandas()
+    assert len(df) == 500 and sorted(df.columns) == ["doc_id", "fp_ok"]
+    assert df["fp_ok"].all()
+
+
+def test_fingerprint_verdict_short_doc_fallback(ray_session):
+    """Docs under the 3-gram window use the documented fallback contract
+    (shingle_min64 == fingerprint64) instead of padding invariance."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import __ray_entry__ as e
+
+    # mimic the driver query's verdict on crafted short docs
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(["one", "two words", "now three tokens here"]),
+        }
+    )
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+        df = e.queries()["fingerprint_documents"](d).to_pandas()
+    assert len(df) == 3 and df["fp_ok"].all()

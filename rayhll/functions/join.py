@@ -51,7 +51,7 @@ def _floor_bins(vals: np.ndarray, width) -> np.ndarray:
         return np.floor_divide(vals.astype(np.int64), np.int64(width))
     return np.floor(vals.astype(np.float64) / float(width)).astype(np.int64)
 
-_HOWS = ("inner", "left", "semi", "anti")
+_HOWS = ("inner", "left", "right", "full", "semi", "anti")
 
 
 def bucket_equi_join(
@@ -65,9 +65,14 @@ def bucket_equi_join(
     """Join two Datasets on equal ``on`` columns.
 
     ``how``: ``inner`` | ``left`` (keep unmatched left rows with nulls) |
-    ``semi`` (left rows with a match, left columns only) | ``anti``
-    (left rows without a match).  Right-side non-key columns colliding with
-    left names get ``suffix``.
+    ``right`` (keep unmatched right rows) | ``full`` (keep unmatched rows
+    of both sides; key columns coalesced) | ``semi`` (left rows with a
+    match, left columns only) | ``anti`` (left rows without a match).
+    Right-side non-key columns colliding with left names get ``suffix``.
+
+    NULL keys never match (SQL semantics) but unmatched null-key rows are
+    kept by the outer variants; all null-key rows co-locate in one bucket,
+    so filter them pre-join if nulls dominate a side.
     """
     if isinstance(on, str):
         on = [on]
@@ -135,15 +140,18 @@ def bucket_equi_join(
 
     left_names = [n for n, _ in left_fields]
     right_names = [d for _, d, _ in right_out]
-    pl_how = {"inner": "inner", "left": "left", "semi": "semi", "anti": "anti"}[how]
-
     def join_bucket(tbl: pa.Table) -> pa.Table:
         df = pl.from_arrow(tbl)
         lhs = df.filter(~pl.col(_SIDE_COL)).select(left_names)
         rhs = df.filter(pl.col(_SIDE_COL)).select(on + right_names)
-        out = lhs.join(rhs, on=on, how=pl_how)
+        if how == "full":
+            out = lhs.join(rhs, on=on, how="full", coalesce=True)
+        else:
+            out = lhs.join(rhs, on=on, how=how)
         if how in ("semi", "anti"):
             out = out.select(left_names)
+        else:
+            out = out.select(left_names + right_names)
         return out.to_arrow()
 
     return (

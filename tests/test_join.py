@@ -41,10 +41,24 @@ def _ray_join(how):
     return bucket_equi_join(orders, cust, on="o_custkey", how=how).to_pandas()
 
 
-@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+@pytest.mark.parametrize("how", ["inner", "left", "right", "full", "semi", "anti"])
 def test_bucket_equi_join_matches_duckdb(ray_session, how):
     got = _ray_join(how)
     sql = {
+        "right": (
+            "SELECT o_orderkey, COALESCE(o.o_custkey, c.c_custkey) AS o_custkey, "
+            "o_totalprice, c_name, c_acctbal "
+            f"FROM read_parquet('{SF}/orders.parquet') o "
+            f"RIGHT JOIN (SELECT * FROM read_parquet('{SF}/customer.parquet') "
+            "WHERE c_custkey % 3 != 0) c ON o.o_custkey = c.c_custkey"
+        ),
+        "full": (
+            "SELECT o_orderkey, COALESCE(o.o_custkey, c.c_custkey) AS o_custkey, "
+            "o_totalprice, c_name, c_acctbal "
+            f"FROM read_parquet('{SF}/orders.parquet') o "
+            f"FULL JOIN (SELECT * FROM read_parquet('{SF}/customer.parquet') "
+            "WHERE c_custkey % 3 != 0) c ON o.o_custkey = c.c_custkey"
+        ),
         "inner": (
             "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal "
             f"FROM read_parquet('{SF}/orders.parquet') o "
@@ -226,6 +240,13 @@ def test_bucket_equi_join_null_keys_sql_semantics(ray_session):
     lj = bucket_equi_join(left, right, on="k", how="left").to_pandas()
     assert len(lj) == 3
     assert lj[lj.v == "b"].w.isna().all() and lj[lj.v == "c"].w.isna().all()
+    # full outer: null keys never MATCH but unmatched null-key rows of both
+    # sides are kept (1 match + left null + left k=2 + right null = 4 rows)
+    fj = bucket_equi_join(left, right, on="k", how="full").to_pandas()
+    assert len(fj) == 4
+    assert fj.k.isna().sum() == 2  # one per side, never joined to each other
+    rj = bucket_equi_join(left, right, on="k", how="right").to_pandas()
+    assert len(rj) == 2 and rj[rj.w == "y"].v.isna().all()
 
 
 def test_join_suffix_collision_raises(ray_session):

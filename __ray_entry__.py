@@ -360,7 +360,13 @@ def _q_range_join_events_windows(sf_dir: str):
     """Range (interval) join, ORACLE-GATED: each event joined to the hour
     windows of its event type that contain its timestamp (window table
     derived deterministically, mirrored in the oracle SQL).  Exercises
-    functions/join.range_join end-to-end with pass-through values."""
+    functions/join.range_join end-to-end with pass-through values.
+
+    ``by`` has only 5 distinct event types, so every key is a hot key —
+    the query runs the SALTED path (``bin_width`` = 1 hour in µs, matching
+    the window width: ~2 replicas/interval) so each type spreads across
+    time-bin buckets instead of one mega reduce task; the oracle gate pins
+    salted == SQL every round."""
     import duckdb
     import ray.data as rd
 
@@ -375,7 +381,13 @@ def _q_range_join_events_windows(sf_dir: str):
     left = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
     wins = rd.from_arrow(win_tbl)
     out = range_join(
-        left, wins, by="event_type", on="ts", lo="win_start", hi="win_end"
+        left,
+        wins,
+        by="event_type",
+        on="ts",
+        lo="win_start",
+        hi="win_end",
+        bin_width=3_600_000_000,  # 1h of timestamp[us] ticks
     )
     return out.select_columns(["ts", "user_id", "event_type", "win_start"])
 

@@ -392,6 +392,47 @@ def _q_range_join_events_windows(sf_dir: str):
     return out.select_columns(["ts", "user_id", "event_type", "win_start"])
 
 
+def _q_broadcast_join_lineitem_brand(sf_dir: str):
+    """Fact x dim broadcast join, ORACLE-GATED: lineitem joined to the small
+    part table via functions/join.broadcast_join (``ray.put`` once, joined
+    per batch, NO shuffle on the fact side), pre-aggregated per batch, then
+    one tiny per-brand groupby — the canonical 100-TB dimension-join shape."""
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayhll.functions.join import broadcast_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    part_tbl = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    ).rename_columns(["l_partkey", "p_brand"])
+    joined = broadcast_join(li, part_tbl, on="l_partkey", how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("p_brand")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_items"),
+                pl.col("l_quantity").sum().alias("sum_qty"),
+            )
+            .to_arrow()
+        )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("p_brand")
+            .agg(pl.col("n_items").sum(), pl.col("sum_qty").sum())
+            .sort("p_brand")
+            .to_arrow()
+        )
+
+    parts = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby("p_brand").map_groups(rollup, batch_format="pyarrow")
+
+
 def _q_grouped_top_k_orders(sf_dir: str):
     """Per-group top-k (curation staple: 'k smallest per class'),
     ORACLE-GATED vs the SQL window function."""
@@ -1234,6 +1275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer_by_segment": _q_join_orders_customer_by_segment,
         "asof_join_click_purchase": _q_asof_join_click_purchase,
         "range_join_events_windows": _q_range_join_events_windows,
+        "broadcast_join_lineitem_brand": _q_broadcast_join_lineitem_brand,
         "grouped_top_k_orders": _q_grouped_top_k_orders,
         "grouped_sample_documents": _q_grouped_sample_documents,
         "countmin_event_type_counts": _q_countmin_event_type_counts,
@@ -1326,6 +1368,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.ts, e.user_id, e.event_type, w.win_start FROM events e "
             "JOIN w ON e.event_type = w.event_type "
             "AND e.ts BETWEEN w.win_start AND w.win_end"
+        ),
+        "broadcast_join_lineitem_brand": (
+            "SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "SUM(l.l_quantity) AS sum_qty FROM lineitem l "
+            "JOIN part p ON l.l_partkey = p.p_partkey GROUP BY p.p_brand"
         ),
         "asof_join_click_purchase": (
             "SELECT c.ts, c.user_id, p.purchase_ts "

@@ -161,6 +161,78 @@ def bucket_equi_join(
     )
 
 
+def broadcast_join(
+    left,
+    small,
+    on: list[str] | str,
+    how: str = "inner",
+    suffix: str = "_right",
+):
+    """Shuffle-free join of a large Dataset against a SMALL side.
+
+    The small side (a ``pyarrow.Table`` or a small Dataset, e.g. a dimension
+    table) is shipped to the object store ONCE via ``ray.put`` as a polars
+    frame; every map task reads it zero-shuffle (Ray caches the deserialized
+    object per worker process) and joins its batch locally — the pattern the
+    bucketed join's docstring recommends when one side fits in memory, now
+    first-class.  No all-to-all exchange: the large side streams.
+
+    ``how``: ``inner`` | ``left`` | ``semi`` | ``anti`` (left = the LARGE
+    side).  ``right``/``full`` are not offered — tracking which small rows
+    matched would need a global second pass; use :func:`bucket_equi_join`.
+    NULL keys never match (SQL semantics); unmatched large-side rows
+    survive ``left``.  Duplicate small-side keys cross-product per batch,
+    same as SQL.
+    """
+    import ray
+
+    if isinstance(on, str):
+        on = [on]
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how={how!r} not in ('inner', 'left', 'semi', 'anti')")
+    if isinstance(small, pa.Table):
+        small_tbl = small
+    else:
+        small_tbl = pa.concat_tables(
+            ray.get(small.to_arrow_refs()), promote_options="default"
+        )
+    left_schema = left.schema()
+    for k in on:
+        if k not in left_schema.names or k not in small_tbl.column_names:
+            raise ValueError(f"join key {k!r} missing from a side")
+    rename = {}
+    for name in small_tbl.column_names:
+        if name in on:
+            continue
+        if name in left_schema.names:
+            dst = name + suffix
+            if dst in left_schema.names:
+                raise ValueError(
+                    f"suffixed right column {dst!r} collides with a left column; "
+                    "rename one side or choose another suffix"
+                )
+            rename[name] = dst
+    if rename:
+        small_tbl = small_tbl.rename_columns(
+            [rename.get(n, n) for n in small_tbl.column_names]
+        )
+    small_ref = ray.put(pl.from_arrow(small_tbl))
+    left_names = list(left_schema.names)
+    right_names = [n for n in small_tbl.column_names if n not in on]
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        sm = ray.get(small_ref)  # per-worker deserialization cache
+        lhs = pl.from_arrow(batch)
+        out = lhs.join(sm, on=on, how=how)
+        if how in ("semi", "anti"):
+            out = out.select(left_names)
+        else:
+            out = out.select(left_names + right_names)
+        return out.to_arrow()
+
+    return left.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def range_join(
     left,
     right,

@@ -373,3 +373,80 @@ def test_range_join_salting_spreads_hot_key(ray_session):
     bins = jn._floor_bins(pos, 7)
     salted = np.unique((h[: len(bins)] ^ (bins.view(np.uint64) * jn._GOLDEN64)) % np.uint64(16))
     assert len(salted) == 16
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_broadcast_join_matches_duckdb(ray_session, how):
+    """broadcast_join (shuffle-free small-side join) returns the exact
+    bucketed-join/SQL result for every supported mode."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from rayhll.functions.join import broadcast_join
+
+    orders = rd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    import duckdb as dk
+
+    small = dk.sql(
+        f"SELECT c_custkey AS o_custkey, c_name, c_acctbal "
+        f"FROM read_parquet('{SF}/customer.parquet') WHERE c_custkey % 3 != 0"
+    ).arrow()
+    got = broadcast_join(orders, small, on="o_custkey", how=how).to_pandas()
+    sql = {
+        "inner": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal "
+            f"FROM read_parquet('{SF}/orders.parquet') o "
+            f"JOIN (SELECT * FROM read_parquet('{SF}/customer.parquet') "
+            "WHERE c_custkey % 3 != 0) c ON o.o_custkey = c.c_custkey"
+        ),
+        "left": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal "
+            f"FROM read_parquet('{SF}/orders.parquet') o "
+            f"LEFT JOIN (SELECT * FROM read_parquet('{SF}/customer.parquet') "
+            "WHERE c_custkey % 3 != 0) c ON o.o_custkey = c.c_custkey"
+        ),
+        "semi": (
+            "SELECT o_orderkey, o_custkey, o_totalprice "
+            f"FROM read_parquet('{SF}/orders.parquet') o "
+            f"WHERE o.o_custkey IN (SELECT c_custkey FROM "
+            f"read_parquet('{SF}/customer.parquet') WHERE c_custkey % 3 != 0)"
+        ),
+        "anti": (
+            "SELECT o_orderkey, o_custkey, o_totalprice "
+            f"FROM read_parquet('{SF}/orders.parquet') o "
+            f"WHERE o.o_custkey NOT IN (SELECT c_custkey FROM "
+            f"read_parquet('{SF}/customer.parquet') WHERE c_custkey % 3 != 0)"
+        ),
+    }[how]
+    want = duckdb.sql(sql).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_broadcast_join_null_keys_and_collision(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions.join import broadcast_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, None, 2]), "v": pa.array(["a", "b", "c"])})
+    )
+    small = pa.table({"k": pa.array([1, None]), "v": pa.array(["x", "y"])})
+    inner = broadcast_join(left, small, on="k", how="inner").to_pandas()
+    assert len(inner) == 1 and inner.iloc[0].v == "a" and inner.iloc[0].v_right == "x"
+    lj = broadcast_join(left, small, on="k", how="left").to_pandas()
+    assert len(lj) == 3 and lj[lj.k.isna()].v_right.isna().all()
+    with pytest.raises(ValueError, match="collides"):
+        broadcast_join(
+            rd.from_arrow(pa.table({"k": [1], "v": ["a"], "v_right": ["x"]})),
+            small,
+            on="k",
+        )
+    with pytest.raises(ValueError, match="not in"):
+        broadcast_join(left, small, on="k", how="full")

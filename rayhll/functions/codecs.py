@@ -13,6 +13,9 @@ end-to-end instead of stubbed:
 * **raw video** — our own trivial container for frame sampling: a payload
   of concatenated ``height*width*3`` RGB24 frames (dims carried in the
   asset table's metadata columns, as a real pipeline would).
+* **PNG** — 8-bit non-interlaced gray/RGB/palette/gray+A/RGBA, all five
+  row filters, via the stdlib ``zlib`` (the one COMPRESSED format that
+  needs no external codec library).
 
 Each format has a matching encoder so tests can synthesize payloads and
 assert exact pixel/sample round-trips.  All decoders take ``bytes`` and
@@ -229,28 +232,179 @@ def decode_rawvideo(data: bytes, width: int, height: int) -> np.ndarray:
 # shared helpers built on the decoders
 
 
+# ----------------------------------------------------------------------
+# PNG (8-bit, non-interlaced; compression via the stdlib zlib)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: color type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode ``(h, w)`` gray, ``(h, w, 3)`` RGB or ``(h, w, 4)`` RGBA uint8
+    as an 8-bit non-interlaced PNG (filter 0 rows, stdlib zlib deflate)."""
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color, ch = 0, 1
+        flat = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color, ch = 2, 3
+        flat = img
+    elif img.ndim == 3 and img.shape[2] == 4:
+        color, ch = 6, 4
+        flat = img
+    else:
+        raise ValueError("encode_png expects (h,w), (h,w,3) or (h,w,4) uint8")
+    h, w = flat.shape[:2]
+    # one 0x00 filter byte per row, then raw samples
+    rows = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    rows[:, 1:] = flat.reshape(h, w * ch)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(rows.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG row filters.  Filters 0/1/2 are vectorized per row; 3/4
+    (average/Paeth) carry an in-row left-neighbor dependency and fall back
+    to a per-byte loop — bounded by the rows that actually use them (our
+    own encoder always emits filter 0)."""
+    raw = raw.reshape(h, 1 + stride)
+    filters = raw[:, 0]
+    data = raw[:, 1:].astype(np.int32)
+    recon = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = filters[y]
+        row = data[y]
+        if f == 0:
+            cur = row.copy()
+        elif f == 1:  # sub: prefix sum per byte lane
+            cur = row.copy()
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(cur[lane::bpp]) & 0xFF
+        elif f == 2:  # up
+            cur = (row + prev) & 0xFF
+        elif f == 3:  # average
+            cur = row.copy()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # paeth
+            cur = row.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        recon[y] = cur
+        prev = cur
+    return recon.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (gray / RGB / palette / gray+A /
+    RGBA) to uint8 ``(h, w)`` or ``(h, w, channels)``.  All five row
+    filters supported; 16-bit depth and Adam7 interlacing are not."""
+    import zlib
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, comp={comp})")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {color}")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    px = _png_unfilter(raw, h, stride, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[px.reshape(h, w)]
+    if ch == 1:
+        return px.reshape(h, w)
+    return px.reshape(h, w, ch)
+
+
 def sniff_media(data: bytes) -> str | None:
     """Best-effort container sniff by magic bytes."""
     if data[:2] == b"BM":
         return "bmp"
     if data[:2] in (b"P5", b"P6"):
         return "pnm"
+    if data[: len(_PNG_SIG)] == _PNG_SIG:
+        return "png"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     return None
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode BMP or PPM/PGM to ``(h, w, 3)`` RGB (gray is broadcast)."""
+    """Decode BMP, PPM/PGM or PNG to ``(h, w, 3)`` RGB (gray broadcast,
+    alpha dropped)."""
     kind = sniff_media(data)
     if kind == "bmp":
         return decode_bmp(data)
+    if kind == "png":
+        img = decode_png(data)
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        return img[:, :, :3]
     if kind == "pnm":
         img = decode_ppm(data)
         if img.ndim == 2:
             img = np.repeat(img[:, :, None], 3, axis=2)
         return img
-    raise ValueError("unrecognized image container (expected BMP or binary netpbm)")
+    raise ValueError(
+        "unrecognized image container (expected BMP, binary netpbm, or PNG)"
+    )
 
 
 def resize_nearest(rgb: np.ndarray, target_w: int, target_h: int) -> np.ndarray:

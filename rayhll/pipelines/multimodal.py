@@ -49,12 +49,14 @@ RECOMMENDED_BATCH_SIZE = 256
 
 def _real_decode_stub(media_type: str) -> None:
     # Compressed-format swap point: a deployment with codec libraries
-    # (Pillow for images, soundfile for audio, pyav for video) decodes
-    # here.  Uncompressed formats are handled for real by decoder="numpy".
+    # (Pillow for JPEG/WebP, soundfile for FLAC/MP3, pyav for video)
+    # decodes here.  BMP/PPM/WAV/rawvideo AND PNG (stdlib zlib) are
+    # handled for real by decoder="numpy".
     raise NotImplementedError(
-        f"real {media_type} decoding of compressed formats requires a codec "
-        "library not present in this environment; use decoder='numpy' for "
-        "BMP/PPM/WAV/rawvideo or decoder='fake' for the digest-feature path"
+        f"real {media_type} decoding of JPEG/WebP/FLAC/MP3-class formats "
+        "requires a codec library not present in this environment; use "
+        "decoder='numpy' for BMP/PPM/PNG/WAV/rawvideo or decoder='fake' "
+        "for the digest-feature path"
     )
 
 

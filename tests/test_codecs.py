@@ -246,3 +246,163 @@ def test_multimodal_pipeline_numpy_end_to_end(ray_session):
         feats2.sort_values("asset_id")["features"].tolist(), dtype=np.float32
     )
     np.testing.assert_array_equal(mat, mat2)
+
+
+# ----------------------------------------------------------------------
+# PNG
+
+
+@pytest.mark.parametrize("shape", [(5, 7), (8, 8, 3), (6, 4, 4)])
+def test_png_roundtrip_exact(shape):
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = codecs.decode_png(codecs.encode_png(img))
+    np.testing.assert_array_equal(out, img)
+
+
+def _forward_filter(img: np.ndarray, ftype: int) -> bytes:
+    """Forward-apply one PNG row filter to every row (test-side reference
+    implementation, independent of the library's unfilter)."""
+    h, w, ch = img.shape
+    bpp = ch
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        row = np.empty(stride, dtype=np.int32)
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:  # paeth
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+            row[x] = (cur[x] - pred) & 0xFF
+        out.append(ftype)
+        out.extend(row.astype(np.uint8).tobytes())
+        prev = cur
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_all_filter_types_decode(ftype):
+    """Decode PNGs whose rows use each of the five filters, produced by an
+    independent forward-filter in the test."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(ftype)
+    img = rng.integers(0, 256, size=(9, 5, 3), dtype=np.uint8)
+    raw = _forward_filter(img, ftype)
+    ihdr = struct.pack(">IIBBBBB", 5, 9, 8, 2, 0, 0, 0)
+    data = (
+        codecs._PNG_SIG
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"IDAT", zlib.compress(raw))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(codecs.decode_png(data), img)
+
+
+def test_png_palette_decode():
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(9)
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(6, 7), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(6))
+    data = (
+        codecs._PNG_SIG
+        + codecs._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 6, 8, 3, 0, 0, 0))
+        + codecs._png_chunk(b"PLTE", plte.tobytes())
+        + codecs._png_chunk(b"IDAT", zlib.compress(raw))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(codecs.decode_png(data), plte[idx])
+
+
+def test_png_rejects_unsupported():
+    import struct
+    import zlib
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        codecs.decode_png(b"JUNK")
+    # 16-bit depth
+    data = (
+        codecs._PNG_SIG
+        + codecs._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + codecs._png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        codecs.decode_png(data)
+    # interlaced
+    data = (
+        codecs._PNG_SIG
+        + codecs._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + codecs._png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlaced"):
+        codecs.decode_png(data)
+
+
+def test_png_through_decode_image_and_sniff():
+    rng = np.random.default_rng(4)
+    rgb = rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(4, 4), dtype=np.uint8)
+    rgba = rng.integers(0, 256, size=(3, 5, 4), dtype=np.uint8)
+    assert codecs.sniff_media(codecs.encode_png(rgb)) == "png"
+    np.testing.assert_array_equal(codecs.decode_image(codecs.encode_png(rgb)), rgb)
+    g = codecs.decode_image(codecs.encode_png(gray))
+    assert g.shape == (4, 4, 3)
+    np.testing.assert_array_equal(g[:, :, 0], gray)
+    a = codecs.decode_image(codecs.encode_png(rgba))
+    np.testing.assert_array_equal(a, rgba[:, :, :3])
+
+
+def test_png_through_decode_stage(ray_session):
+    """A PNG payload flows through the actor-pool DecodeStage with real
+    metadata recovery (width/height from IHDR)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.pipelines.multimodal import DecodeStage
+
+    rng = np.random.default_rng(5)
+    payloads = [
+        codecs.encode_png(rng.integers(0, 256, size=(11 + i, 7 + i, 3), dtype=np.uint8))
+        for i in range(4)
+    ]
+    tbl = pa.table(
+        {
+            "asset_id": pa.array(range(4), type=pa.int64()),
+            "media_type": pa.array(["image"] * 4),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array([0] * 4, type=pa.int32()),
+            "height": pa.array([0] * 4, type=pa.int32()),
+            "sample_rate": pa.array([-1] * 4, type=pa.int32()),
+            "duration_ms": pa.array([-1] * 4, type=pa.int32()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(DecodeStage("numpy"), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("asset_id")
+    )
+    assert out["decode_ok"].all()
+    assert list(out["width"]) == [7, 8, 9, 10]
+    assert list(out["height"]) == [11, 12, 13, 14]

@@ -298,12 +298,15 @@ def synth_asset_table(n: int, seed: int = 7) -> pa.Table:
 
 def synth_media_table(n: int, seed: int = 7) -> pa.Table:
     """Deterministic asset table of REAL decodable payloads for the
-    ``numpy`` decoder path: BMP images, 16-bit PCM WAVs, raw-RGB24 video.
-    Dim/rate metadata columns intentionally hold -1 sentinels except video
-    dims (which raw RGB24 genuinely needs) — DecodeStage must recover the
-    true values from the payloads."""
+    ``numpy`` decoder path: BMP/PPM/PNG images (rotating, so the oracle
+    gate exercises all three containers incl. the zlib inflate + unfilter
+    path), 16-bit PCM WAVs, raw-RGB24 video.  Dim/rate metadata columns
+    intentionally hold -1 sentinels except video dims (which raw RGB24
+    genuinely needs) — DecodeStage must recover the true values from the
+    payloads."""
     rng = np.random.default_rng(seed)
     ids, media, payloads, ws, hs, rates, durs = [], [], [], [], [], [], []
+    img_encoders = (codecs.encode_bmp, codecs.encode_ppm, codecs.encode_png)
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         ids.append(i)
@@ -311,7 +314,7 @@ def synth_media_table(n: int, seed: int = 7) -> pa.Table:
         if kind == "image":
             w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payloads.append(codecs.encode_bmp(img) if i % 2 == 0 else codecs.encode_ppm(img))
+            payloads.append(img_encoders[(i // 3) % 3](img))
             ws.append(-1); hs.append(-1); rates.append(-1); durs.append(-1)
         elif kind == "audio":
             rate = 8000

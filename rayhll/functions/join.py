@@ -243,6 +243,7 @@ def range_join(
     num_buckets: int = 64,
     suffix: str = "_right",
     bin_width=None,
+    max_replication: float = 64.0,
 ):
     """Range (interval) join: left row matches right rows with equal ``by``
     keys and ``right[lo] <= left[on] <= right[hi]`` — inner-join semantics,
@@ -265,9 +266,12 @@ def range_join(
     replica for that bin), so the result set is identical to the unsalted
     path — pinned by tests.  Cost: right rows replicate by
     ``interval_width / bin_width``; pick ``bin_width`` near the typical
-    interval width (~1-2 replicas/row).  Rows with a null ``on``/``lo``/
-    ``hi`` can never satisfy the inequalities and are dropped at the map
-    stage on this path."""
+    interval width (~1-2 replicas/row).  A batch whose MEAN replication
+    factor exceeds ``max_replication`` raises instead of silently
+    exploding the exchange (a too-fine ``bin_width`` multiplies shuffle
+    payload; widen the bins).  Rows with a null ``on``/``lo``/``hi`` can
+    never satisfy the inequalities and are dropped at the map stage on
+    this path."""
     if isinstance(by, str):
         by = [by]
     left_schema = left.schema()
@@ -324,6 +328,14 @@ def range_join(
                 b0 = _floor_bins(lo_np, bin_width)
                 b1 = _floor_bins(hi_np, bin_width)
                 counts = np.where(valid, np.maximum(b1 - b0 + 1, 0), 0)
+                n_valid = int(valid.sum())
+                if n_valid and counts.sum() > max_replication * n_valid:
+                    raise ValueError(
+                        f"range_join bin_width={bin_width} replicates intervals "
+                        f"{counts.sum() / n_valid:.1f}x on average "
+                        f"(max_replication={max_replication}); widen bin_width "
+                        "toward the typical interval width"
+                    )
                 idx = np.repeat(np.arange(len(out), dtype=np.int64), counts)
                 starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
                 bins = b0[idx] + (np.arange(len(idx), dtype=np.int64) - starts[idx])

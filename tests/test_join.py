@@ -450,3 +450,28 @@ def test_broadcast_join_null_keys_and_collision(ray_session):
         )
     with pytest.raises(ValueError, match="not in"):
         broadcast_join(left, small, on="k", how="full")
+
+
+def test_range_join_replication_guard(ray_session):
+    """A too-fine bin_width raises with a clear message instead of silently
+    multiplying shuffle payload."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions.join import range_join
+
+    left = rd.from_arrow(pa.table({"k": [1], "pos": [50]}))
+    right = rd.from_arrow(
+        pa.table({"k": [1, 1], "lo": [0, 10], "hi": [100000, 90000], "rid": [0, 1]})
+    )
+    ds = range_join(
+        left, right, by="k", on="pos", lo="lo", hi="hi", bin_width=1
+    )
+    with pytest.raises(Exception, match="widen bin_width"):
+        ds.materialize()
+    # generous max_replication admits the same plan
+    ok = range_join(
+        left, right, by="k", on="pos", lo="lo", hi="hi",
+        bin_width=1, max_replication=200_000,
+    ).to_pandas()
+    assert len(ok) == 2

@@ -937,6 +937,90 @@ class SimHashStage:
         return out
 
 
+def _make_simhash_bucket_pairs_fn(id_col: str, max_hamming: int, max_bucket_size: int):
+    """In-bucket SimHash pair kernel over (chunk_key, id, simhash64) rows:
+    one lexsort segments the task's rows into equal-chunk-key buckets,
+    Python loops only over multi-member buckets (shared by the streaming
+    and checkpointed variants)."""
+
+    def bucket_pairs(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column("chunk_key").to_numpy()
+        all_ids = tbl.column(id_col).to_numpy()
+        all_sims = tbl.column("simhash64").to_numpy().astype(np.int64).view(np.uint64)
+        order = np.lexsort((all_ids, keys))
+        k_sorted = keys[order]
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(k_sorted)) + 1, [len(k_sorted)])
+        )
+        sizes = np.diff(bounds)
+        cand = np.flatnonzero((sizes >= 2) & (sizes <= max_bucket_size))
+        a_ids, b_ids, dist = [], [], []
+        for s in cand.tolist():
+            sel = order[bounds[s] : bounds[s + 1]]
+            ids = all_ids[sel]
+            uniq_ids, first = np.unique(ids, return_index=True)
+            sims = all_sims[sel[first]]
+            if len(uniq_ids) < 2:
+                continue
+            for i in range(len(uniq_ids) - 1):
+                x = sims[i + 1 :] ^ sims[i]
+                hd = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+                hit = np.flatnonzero(hd <= max_hamming)
+                for j in hit:
+                    a_ids.append(int(uniq_ids[i]))
+                    b_ids.append(int(uniq_ids[i + 1 + j]))
+                    dist.append(int(hd[j]))
+        return pa.table(
+            {
+                "id_a": pa.array(a_ids, type=pa.int64()),
+                "id_b": pa.array(b_ids, type=pa.int64()),
+                "hamming": pa.array(dist, type=pa.int64()),
+            }
+        )
+
+    return bucket_pairs
+
+
+def build_simhash_sig_store(signed, sig_store_dir: str, text_col: str, id_col: str) -> None:
+    """Write (or validate and reuse) a SimHash signature store: the
+    SimHashStage output (id, simhash64, chunk_0..3) as parquet with a
+    parameter manifest — same contract as :func:`build_minhash_sig_store`
+    (reuse only under matching params/format version; mismatch raises)."""
+    import glob as _glob
+    import json
+    import os
+
+    from rayhll.sketches.base import Sketch
+
+    manifest = {
+        "format_version": Sketch.format_version,
+        "family": "simhash",
+        "text_col": text_col,
+        "id_col": id_col,
+    }
+    manifest_path = os.path.join(sig_store_dir, "_MANIFEST.json")
+    if not _glob.glob(os.path.join(sig_store_dir, "*.parquet")):
+        signed.write_parquet(sig_store_dir)
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f)
+    else:
+        try:
+            with open(manifest_path) as f:
+                found = json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"signature store {sig_store_dir} has no _MANIFEST.json "
+                "(pre-manifest store?) — delete the directory to rebuild"
+            ) from None
+        if found != manifest:
+            raise ValueError(
+                f"signature store {sig_store_dir} was built with "
+                f"{found}, but this run needs {manifest} — delete the "
+                "directory to rebuild (reusing it would produce silently "
+                "wrong candidate pairs)"
+            )
+
+
 def simhash_pairs(
     ds,
     text_col: str,
@@ -973,43 +1057,7 @@ def simhash_pairs(
         return pa.concat_tables(parts)
 
     exploded = signed.map_batches(explode, batch_format="pyarrow")
-
-    def bucket_pairs(tbl: pa.Table) -> pa.Table:
-        # vectorized segmentation; Python loop only over multi-member buckets
-        keys = tbl.column("chunk_key").to_numpy()
-        all_ids = tbl.column(id_col).to_numpy()
-        all_sims = tbl.column("simhash64").to_numpy().astype(np.int64).view(np.uint64)
-        order = np.lexsort((all_ids, keys))
-        k_sorted = keys[order]
-        bounds = np.concatenate(
-            ([0], np.flatnonzero(np.diff(k_sorted)) + 1, [len(k_sorted)])
-        )
-        sizes = np.diff(bounds)
-        cand = np.flatnonzero((sizes >= 2) & (sizes <= max_bucket_size))
-        a_ids, b_ids, dist = [], [], []
-        for s in cand.tolist():
-            sel = order[bounds[s] : bounds[s + 1]]
-            ids = all_ids[sel]
-            uniq_ids, first = np.unique(ids, return_index=True)
-            sims = all_sims[sel[first]]
-            if len(uniq_ids) < 2:
-                continue
-            for i in range(len(uniq_ids) - 1):
-                x = sims[i + 1 :] ^ sims[i]
-                hd = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-                hit = np.flatnonzero(hd <= max_hamming)
-                for j in hit:
-                    a_ids.append(int(uniq_ids[i]))
-                    b_ids.append(int(uniq_ids[i + 1 + j]))
-                    dist.append(int(hd[j]))
-        return pa.table(
-            {
-                "id_a": pa.array(a_ids, type=pa.int64()),
-                "id_b": pa.array(b_ids, type=pa.int64()),
-                "hamming": pa.array(dist, type=pa.int64()),
-            }
-        )
-
+    bucket_pairs = _make_simhash_bucket_pairs_fn(id_col, max_hamming, max_bucket_size)
     pairs = exploded.groupby("bkt").map_groups(bucket_pairs, batch_format="pyarrow")
 
     def add_pair_bucket(tbl: pa.Table) -> pa.Table:

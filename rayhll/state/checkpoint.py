@@ -194,6 +194,115 @@ def flagship_checkpointed(
     )
 
 
+def simhash_dedup_checkpointed(
+    input_files: list[str],
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int = 4096,
+    num_buckets: int = 16,
+    fail_after: int | None = None,
+):
+    """Checkpointed SimHash near-dup pair extraction — the same two-level
+    resume contract as :func:`minhash_dedup_checkpointed`:
+
+    * the SIGNATURE pass runs once into a manifested parquet store under
+      ``out_dir/sigs`` (``build_simhash_sig_store``) and is reused across
+      runs;
+    * the PAIR output is partitioned by co-locating chunk-key bucket
+      (``chunk_key % num_buckets``): each bucket's hamming-verified pairs
+      are a pure function of the store, written atomically, skipped on
+      resume;
+    * merge dedups pairs globally (a pair can surface from several of the
+      4 chunk keys) and sorts canonically — a crash-mid-run resume is
+      byte-identical to a clean run, and the final pair set matches the
+      streaming ``simhash_pairs`` on the same input (both pinned)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import (
+        SimHashStage,
+        _make_simhash_bucket_pairs_fn,
+        build_simhash_sig_store,
+    )
+
+    sig_store_dir = os.path.join(out_dir, "sigs")
+    params = {
+        "max_hamming": max_hamming,
+        "max_bucket_size": max_bucket_size,
+        "num_buckets": num_buckets,
+        "text_col": text_col,
+        "id_col": id_col,
+        "inputs": sorted(input_files),
+    }
+
+    def ensure_store() -> None:
+        ds = rd.read_parquet(sorted(input_files), columns=[id_col, text_col])
+        signed = ds.map_batches(
+            SimHashStage(text_col, id_col), batch_format="pyarrow", zero_copy_batch=True
+        )
+        build_simhash_sig_store(signed, sig_store_dir, text_col, id_col)
+
+    chunk_cols = [f"chunk_{c}" for c in range(4)]
+    kernel = _make_simhash_bucket_pairs_fn(id_col, max_hamming, max_bucket_size)
+
+    def partial_fn(bucket: int) -> pa.Table:
+        def explode_filter(batch: pa.Table) -> pa.Table:
+            keys, ids, sims = [], [], []
+            for c in range(4):
+                keys.append(batch.column(f"chunk_{c}").to_numpy())
+                ids.append(batch.column(id_col).to_numpy())
+                sims.append(batch.column("simhash64").to_numpy())
+            key = np.concatenate(keys)
+            keep = (key.view(np.uint64) % np.uint64(num_buckets)) == bucket
+            return pa.table(
+                {
+                    "chunk_key": pa.array(key[keep], type=pa.int64()),
+                    id_col: pa.array(np.concatenate(ids)[keep], type=pa.int64()),
+                    "simhash64": pa.array(
+                        np.concatenate(sims)[keep], type=pa.int64()
+                    ),
+                }
+            )
+
+        signed = rd.read_parquet(
+            sig_store_dir, columns=[id_col, "simhash64"] + chunk_cols
+        )
+        rows = signed.map_batches(explode_filter, batch_format="pyarrow")
+        tbl = pa.concat_tables(rows.iter_batches(batch_format="pyarrow", batch_size=None))
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "hamming": pa.array([], type=pa.int64()),
+                }
+            )
+        return kernel(tbl)
+
+    def merge_fn(paths: list[str]) -> pa.Table:
+        import polars as pl
+
+        all_pairs = pa.concat_tables([pq.read_table(p) for p in paths])
+        if len(all_pairs) == 0:
+            return all_pairs
+        return (
+            pl.from_arrow(all_pairs)
+            .unique(subset=["id_a", "id_b"])
+            .sort(["id_a", "id_b"])
+            .to_arrow()
+        )
+
+    ensure_store()
+    inputs = {f"b{b:04d}": b for b in range(num_buckets)}
+    return run_checkpointed(
+        out_dir, inputs, partial_fn, merge_fn, settings_obj=params, fail_after=fail_after
+    )
+
+
 def minhash_dedup_checkpointed(
     input_files: list[str],
     out_dir: str,

@@ -142,3 +142,43 @@ def test_dedup_checkpointed_matches_streaming(ray_session, dup_docs_file, tmp_pa
     )
     got = ckpt.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
     assert got[["id_a", "id_b"]].values.tolist() == stream[["id_a", "id_b"]].values.tolist()
+
+
+def test_simhash_checkpointed_crash_resume_and_streaming_parity(
+    ray_session, dup_docs_file, tmp_path
+):
+    """simhash_dedup_checkpointed: crash-mid-run resume is byte-identical to
+    a clean run, and the pair set equals streaming simhash_pairs."""
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import simhash_pairs
+    from rayhll.state.checkpoint import simhash_dedup_checkpointed
+
+    clean_dir = str(tmp_path / "s_clean")
+    crash_dir = str(tmp_path / "s_crash")
+
+    clean = simhash_dedup_checkpointed([dup_docs_file], clean_dir, num_buckets=8)
+    assert clean.num_rows >= 30  # planted exact dups are hamming-0 pairs
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        simhash_dedup_checkpointed(
+            [dup_docs_file], crash_dir, num_buckets=8, fail_after=3
+        )
+    resumed = simhash_dedup_checkpointed([dup_docs_file], crash_dir, num_buckets=8)
+    assert resumed.equals(clean)
+    a = open(os.path.join(clean_dir, "result", "result.parquet"), "rb").read()
+    b = open(os.path.join(crash_dir, "result", "result.parquet"), "rb").read()
+    assert a == b
+
+    ds = rd.read_parquet(dup_docs_file, columns=["doc_id", "text"])
+    stream = (
+        simhash_pairs(ds, "text", "doc_id")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    got = clean.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert (
+        got[["id_a", "id_b"]].values.tolist()
+        == stream[["id_a", "id_b"]].values.tolist()
+    )

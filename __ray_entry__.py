@@ -433,6 +433,17 @@ def _q_broadcast_join_lineitem_brand(sf_dir: str):
     return parts.groupby("p_brand").map_groups(rollup, batch_format="pyarrow")
 
 
+def _q_curation_docs_by_lang(sf_dir: str):
+    """Composed training-data curation flow, ORACLE-GATED end-to-end:
+    quality-filter (token count) -> exact content dedup (keep min id) ->
+    per-language rollup, the whole composition mirrored in one SQL
+    statement (pipelines/curate.py)."""
+    from rayhll.pipelines.curate import curate_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return curate_documents(ds, min_tokens=40)
+
+
 def _q_grouped_top_k_orders(sf_dir: str):
     """Per-group top-k (curation staple: 'k smallest per class'),
     ORACLE-GATED vs the SQL window function."""
@@ -1276,6 +1287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_click_purchase": _q_asof_join_click_purchase,
         "range_join_events_windows": _q_range_join_events_windows,
         "broadcast_join_lineitem_brand": _q_broadcast_join_lineitem_brand,
+        "curation_docs_by_lang": _q_curation_docs_by_lang,
         "grouped_top_k_orders": _q_grouped_top_k_orders,
         "grouped_sample_documents": _q_grouped_sample_documents,
         "countmin_event_type_counts": _q_countmin_event_type_counts,
@@ -1373,6 +1385,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_items, "
             "SUM(l.l_quantity) AS sum_qty FROM lineitem l "
             "JOIN part p ON l.l_partkey = p.p_partkey GROUP BY p.p_brand"
+        ),
+        "curation_docs_by_lang": (
+            "WITH s AS (SELECT doc_id, lang, text, "
+            "CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "f AS (SELECT * FROM s WHERE n_tokens >= 40), "
+            "d AS (SELECT MIN(doc_id) AS keep_id FROM f GROUP BY text), "
+            "k AS (SELECT f.* FROM f JOIN d ON f.doc_id = d.keep_id) "
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, "
+            "CAST(MIN(doc_id) AS BIGINT) AS min_doc_id FROM k GROUP BY lang"
         ),
         "asof_join_click_purchase": (
             "SELECT c.ts, c.user_id, p.purchase_ts "

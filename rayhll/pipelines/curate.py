@@ -1,0 +1,106 @@
+"""Composed training-data curation pipeline: quality-filter -> exact
+dedup -> per-language rollup.
+
+This is the canonical LLM-corpus curation flow built from the engine's own
+operators, kept fully SQL-mirrorable so the driver oracle gates the whole
+composition (not just each stage):
+
+1. ``TextStats`` scores every document (vectorized polars exprs whose
+   definitions match DuckDB expressions — pipelines/text.py:34-38);
+2. documents under ``min_tokens`` are dropped at the map stage (prune
+   BEFORE the shuffle: the only wide op sees survivors only);
+3. exact dedup keeps the minimum id per content hash (same 64-bit xxhash
+   contract as ``pipelines/dedup.exact_dedup_keep_ids``), carrying the
+   rollup columns through the bucket reduce so no second join is needed;
+4. a per-batch partial rollup + one tiny ``groupby(lang)`` merge emits
+   (lang, n_docs, sum_tokens, min_doc_id).
+
+Scale shape: one content-hash bucket shuffle over (hash, id, lang,
+n_tokens) — no text crosses the exchange — then a groupby over ~|langs|
+partial rows.  reference: no counterpart (python-hll has no text surface);
+required by the builder brief's training-data operator set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rayhll.functions.hashing import hash64_table
+from rayhll.pipelines.text import TextStats
+
+
+def curate_documents(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    min_tokens: int = 40,
+    num_buckets: int = 64,
+):
+    """Quality-filter + exact-dedup + per-language rollup (see module doc).
+
+    Returns a Dataset of ``(lang, n_docs, sum_tokens, min_doc_id)`` rows,
+    one per surviving language."""
+    stats = ds.map_batches(
+        TextStats(text_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def filter_and_hash(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("n_tokens"), pa.scalar(min_tokens)))
+        h = hash64_table(t, [text_col], seed=0xDD)  # exact-dedup hash contract
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                lang_col: t.column(lang_col),
+                "n_tokens": t.column("n_tokens"),
+                "_h": pa.array(h, type=pa.int64()),
+                "_bucket": pa.array(
+                    (h.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    hashed = stats.map_batches(
+        filter_and_hash, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def keep_min_then_partial(tbl: pa.Table) -> pa.Table:
+        # min-id row per content hash, then a per-bucket partial rollup —
+        # the global groupby sees ~|langs| rows per bucket, not per doc
+        df = (
+            pl.from_arrow(tbl)
+            .sort(id_col)
+            .unique(subset=["_h"], keep="first", maintain_order=True)
+        )
+        return (
+            df.group_by(lang_col)
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_docs"),
+                pl.col("n_tokens").sum().alias("sum_tokens"),
+                pl.col(id_col).min().alias("min_doc_id"),
+            )
+            .to_arrow()
+        )
+
+    partials = hashed.groupby("_bucket").map_groups(
+        keep_min_then_partial, batch_format="pyarrow"
+    )
+
+    def rollup(tbl: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(tbl)
+            .group_by(lang_col)
+            .agg(
+                pl.col("n_docs").sum(),
+                pl.col("sum_tokens").sum(),
+                pl.col("min_doc_id").min(),
+            )
+            .sort(lang_col)
+            .to_arrow()
+        )
+
+    return partials.groupby(lang_col).map_groups(rollup, batch_format="pyarrow")

@@ -100,3 +100,20 @@ def test_fingerprint_verdict_short_doc_fallback(ray_session):
         pq.write_table(tbl, os.path.join(d, "documents.parquet"))
         df = e.queries()["fingerprint_documents"](d).to_pandas()
     assert len(df) == 3 and df["fp_ok"].all()
+
+
+def test_curation_docs_by_lang_composition(entry):
+    """The composed curation flow (filter -> dedup -> rollup) matches its
+    single-statement DuckDB mirror on sf0.001."""
+    import duckdb
+    import pandas as pd
+
+    df = entry.queries()["curation_docs_by_lang"](SF).to_pandas()
+    want = duckdb.sql(entry.oracle_sql()["curation_docs_by_lang"].replace(
+        "documents", f"read_parquet('{SF}/documents.parquet')"
+    )).df()
+    cols = sorted(df.columns)
+    g = df[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    assert g["n_docs"].sum() < 500  # the filter/dedup really prune

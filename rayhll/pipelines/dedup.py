@@ -436,37 +436,17 @@ def _make_candidate_pairs_fn(key_col: str, id_col: str, max_bucket_size: int):
     return candidate_pairs
 
 
-def build_minhash_sig_store(
-    signed,
-    sig_store_dir: str,
-    text_col: str,
-    id_col: str,
-    num_perm: int,
-    num_bands: int,
-    gram: int,
-) -> None:
-    """Write (or validate and reuse) the parquet signature store.
-
-    ``signed`` is a MinHashStage-output Dataset.  Resumability: an existing
-    store is REUSED (the signature pass is the expensive leg) — but only
-    when its ``_MANIFEST.json`` matches the parameters that determine
-    signature CONTENT (``format_version`` covers the MinHash permutation
-    scheme itself); a gram/num_perm/scheme mismatch would yield silently
-    wrong pairs, so it raises instead."""
+def _write_or_validate_sig_store(signed, sig_store_dir: str, manifest: dict) -> None:
+    """Write ``signed`` as a parquet signature store with ``manifest``, or —
+    when the store already exists — validate its ``_MANIFEST.json`` against
+    the parameters that determine signature CONTENT and reuse it (the
+    signing pass is the expensive leg).  Any mismatch (including
+    ``format_version``, which covers the hashing scheme itself) raises
+    instead of producing silently wrong candidate pairs."""
     import glob as _glob
     import json
     import os
 
-    from rayhll.sketches.base import Sketch
-
-    manifest = {
-        "format_version": Sketch.format_version,
-        "num_perm": num_perm,
-        "num_bands": num_bands,
-        "gram": gram,
-        "text_col": text_col,
-        "id_col": id_col,
-    }
     manifest_path = os.path.join(sig_store_dir, "_MANIFEST.json")
     if not _glob.glob(os.path.join(sig_store_dir, "*.parquet")):
         signed.write_parquet(sig_store_dir)
@@ -488,6 +468,34 @@ def build_minhash_sig_store(
                 "directory to rebuild (reusing it would produce silently "
                 "wrong candidate pairs)"
             )
+
+
+def build_minhash_sig_store(
+    signed,
+    sig_store_dir: str,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    num_bands: int,
+    gram: int,
+) -> None:
+    """Write (or validate and reuse) the MinHash parquet signature store
+    (``signed`` = MinHashStage output) — see
+    :func:`_write_or_validate_sig_store` for the reuse contract."""
+    from rayhll.sketches.base import Sketch
+
+    _write_or_validate_sig_store(
+        signed,
+        sig_store_dir,
+        {
+            "format_version": Sketch.format_version,
+            "num_perm": num_perm,
+            "num_bands": num_bands,
+            "gram": gram,
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+    )
 
 
 def _bucket_join_sig(pairs, sigs, id_col: str, key_col: str, out_sig_col: str, num_buckets: int = 64):
@@ -983,42 +991,20 @@ def _make_simhash_bucket_pairs_fn(id_col: str, max_hamming: int, max_bucket_size
 
 def build_simhash_sig_store(signed, sig_store_dir: str, text_col: str, id_col: str) -> None:
     """Write (or validate and reuse) a SimHash signature store: the
-    SimHashStage output (id, simhash64, chunk_0..3) as parquet with a
-    parameter manifest — same contract as :func:`build_minhash_sig_store`
-    (reuse only under matching params/format version; mismatch raises)."""
-    import glob as _glob
-    import json
-    import os
-
+    SimHashStage output (id, simhash64, chunk_0..3) as parquet — see
+    :func:`_write_or_validate_sig_store` for the reuse contract."""
     from rayhll.sketches.base import Sketch
 
-    manifest = {
-        "format_version": Sketch.format_version,
-        "family": "simhash",
-        "text_col": text_col,
-        "id_col": id_col,
-    }
-    manifest_path = os.path.join(sig_store_dir, "_MANIFEST.json")
-    if not _glob.glob(os.path.join(sig_store_dir, "*.parquet")):
-        signed.write_parquet(sig_store_dir)
-        with open(manifest_path, "w") as f:
-            json.dump(manifest, f)
-    else:
-        try:
-            with open(manifest_path) as f:
-                found = json.load(f)
-        except FileNotFoundError:
-            raise ValueError(
-                f"signature store {sig_store_dir} has no _MANIFEST.json "
-                "(pre-manifest store?) — delete the directory to rebuild"
-            ) from None
-        if found != manifest:
-            raise ValueError(
-                f"signature store {sig_store_dir} was built with "
-                f"{found}, but this run needs {manifest} — delete the "
-                "directory to rebuild (reusing it would produce silently "
-                "wrong candidate pairs)"
-            )
+    _write_or_validate_sig_store(
+        signed,
+        sig_store_dir,
+        {
+            "format_version": Sketch.format_version,
+            "family": "simhash",
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+    )
 
 
 def simhash_pairs(
@@ -1154,6 +1140,91 @@ def _chunked_cosine_pairs(
     return a_out, b_out, c_out
 
 
+def _make_embedding_bucket_pairs_fn(
+    id_col: str, threshold: float, max_bucket_size: int, verify_block: int
+):
+    """In-bucket cosine-verify kernel over (sig, id, norm_vec) rows: one
+    lexsort segments equal-sig buckets, chunked strip verify per bucket
+    (shared by the streaming and checkpointed variants)."""
+
+    def bucket_pairs(tbl: pa.Table) -> pa.Table:
+        from rayhll.pipelines.similarity import _vec_matrix
+
+        df_ids = tbl.column(id_col).to_numpy()
+        sigs = tbl.column("sig").to_numpy()
+        mats = _vec_matrix(tbl, "norm_vec")
+        order = np.lexsort((df_ids, sigs))
+        sig_sorted = sigs[order]
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(sig_sorted)) + 1, [len(sig_sorted)])
+        )
+        a_out, b_out, c_out = [], [], []
+        for s in range(len(bounds) - 1):
+            lo, hi = bounds[s], bounds[s + 1]
+            if hi - lo < 2:
+                continue
+            sel = order[lo:hi]
+            ids = df_ids[sel]
+            uniq_ids, first = np.unique(ids, return_index=True)
+            if len(uniq_ids) < 2 or len(uniq_ids) > max_bucket_size:
+                continue  # singleton or degenerate bucket (see docstring)
+            a, b, c = _chunked_cosine_pairs(
+                uniq_ids, mats[sel][first], threshold, verify_block
+            )
+            a_out += a
+            b_out += b
+            c_out += c
+        if not a_out:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(a_out), type=pa.int64()),
+                "id_b": pa.array(np.concatenate(b_out), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(c_out), type=pa.float64()),
+            }
+        )
+
+    return bucket_pairs
+
+
+def build_embedding_sig_store(
+    signed,
+    sig_store_dir: str,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    num_planes: int,
+    num_tables: int,
+    seed: int = 0,
+) -> None:
+    """Write (or validate and reuse) a hyperplane signature store: the
+    HyperplaneStage output (id, norm_vec float32, sig_0..sig_{T-1}) as
+    parquet with a parameter manifest — same contract as
+    :func:`build_minhash_sig_store`."""
+    from rayhll.sketches.base import Sketch
+
+    _write_or_validate_sig_store(
+        signed,
+        sig_store_dir,
+        {
+            "format_version": Sketch.format_version,
+            "family": "hyperplane",
+            "vec_col": vec_col,
+            "id_col": id_col,
+            "dim": dim,
+            "num_planes": num_planes,
+            "num_tables": num_tables,
+            "seed": seed,
+        },
+    )
+
+
 def embedding_near_dup_pairs(
     ds,
     vec_col: str,
@@ -1216,50 +1287,9 @@ def embedding_near_dup_pairs(
         return pa.concat_tables(parts)
 
     exploded = signed.map_batches(explode_tables, batch_format="pyarrow")
-
-    def bucket_pairs(tbl: pa.Table) -> pa.Table:
-        from rayhll.pipelines.similarity import _vec_matrix
-
-        df_ids = tbl.column(id_col).to_numpy()
-        sigs = tbl.column("sig").to_numpy()
-        mats = _vec_matrix(tbl, "norm_vec")
-        order = np.lexsort((df_ids, sigs))
-        sig_sorted = sigs[order]
-        bounds = np.concatenate(
-            ([0], np.flatnonzero(np.diff(sig_sorted)) + 1, [len(sig_sorted)])
-        )
-        a_out, b_out, c_out = [], [], []
-        for s in range(len(bounds) - 1):
-            lo, hi = bounds[s], bounds[s + 1]
-            if hi - lo < 2:
-                continue
-            sel = order[lo:hi]
-            ids = df_ids[sel]
-            uniq_ids, first = np.unique(ids, return_index=True)
-            if len(uniq_ids) < 2 or len(uniq_ids) > max_bucket_size:
-                continue  # singleton or degenerate bucket (see docstring)
-            a, b, c = _chunked_cosine_pairs(
-                uniq_ids, mats[sel][first], threshold, verify_block
-            )
-            a_out += a
-            b_out += b
-            c_out += c
-        if not a_out:
-            return pa.table(
-                {
-                    "id_a": pa.array([], type=pa.int64()),
-                    "id_b": pa.array([], type=pa.int64()),
-                    "cosine": pa.array([], type=pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "id_a": pa.array(np.concatenate(a_out), type=pa.int64()),
-                "id_b": pa.array(np.concatenate(b_out), type=pa.int64()),
-                "cosine": pa.array(np.concatenate(c_out), type=pa.float64()),
-            }
-        )
-
+    bucket_pairs = _make_embedding_bucket_pairs_fn(
+        id_col, threshold, max_bucket_size, verify_block
+    )
     pairs = exploded.groupby("bkt").map_groups(bucket_pairs, batch_format="pyarrow")
 
     # a pair can surface from several tables — distinct on (id_a, id_b)

@@ -303,6 +303,122 @@ def simhash_dedup_checkpointed(
     )
 
 
+def embedding_dedup_checkpointed(
+    input_files: list[str],
+    out_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    num_tables: int = 4,
+    max_bucket_size: int = 4096,
+    verify_block: int = 1024,
+    num_buckets: int = 16,
+    fail_after: int | None = None,
+):
+    """Checkpointed embedding near-dup pair extraction — the same two-level
+    resume contract as the minhash/simhash variants: one manifested
+    hyperplane-signature store (``out_dir/sigs``: id, float32 normalized
+    vector, per-table sigs) reused across runs; pair output partitioned by
+    co-locating sig bucket, each a pure function of the store, skipped on
+    resume; global pair dedup + canonical sort at merge.  Byte-identical
+    resume and parity with streaming ``embedding_near_dup_pairs`` pinned
+    in tests."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import (
+        HyperplaneStage,
+        _make_embedding_bucket_pairs_fn,
+        build_embedding_sig_store,
+    )
+
+    sig_store_dir = os.path.join(out_dir, "sigs")
+    params = {
+        "threshold": threshold,
+        "dim": dim,
+        "num_planes": num_planes,
+        "num_tables": num_tables,
+        "max_bucket_size": max_bucket_size,
+        "verify_block": verify_block,
+        "num_buckets": num_buckets,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "inputs": sorted(input_files),
+    }
+
+    def ensure_store() -> None:
+        ds = rd.read_parquet(sorted(input_files), columns=[id_col, vec_col])
+        signed = ds.map_batches(
+            HyperplaneStage(vec_col, id_col, dim, num_planes, num_tables),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        build_embedding_sig_store(
+            signed, sig_store_dir, vec_col, id_col, dim, num_planes, num_tables
+        )
+
+    sig_cols = [f"sig_{t}" for t in range(num_tables)]
+    kernel = _make_embedding_bucket_pairs_fn(
+        id_col, threshold, max_bucket_size, verify_block
+    )
+
+    def partial_fn(bucket: int) -> pa.Table:
+        def explode_filter(batch: pa.Table) -> pa.Table:
+            parts = []
+            for t in range(num_tables):
+                sig = batch.column(f"sig_{t}").to_numpy()
+                keep = (sig.view(np.uint64) % np.uint64(num_buckets)) == bucket
+                mask = pa.array(keep)
+                parts.append(
+                    pa.table(
+                        {
+                            "sig": batch.column(f"sig_{t}").filter(mask),
+                            id_col: batch.column(id_col).filter(mask),
+                            "norm_vec": batch.column("norm_vec").filter(mask),
+                        }
+                    )
+                )
+            return pa.concat_tables(parts)
+
+        signed = rd.read_parquet(
+            sig_store_dir, columns=[id_col, "norm_vec"] + sig_cols
+        )
+        rows = signed.map_batches(explode_filter, batch_format="pyarrow")
+        tbl = pa.concat_tables(rows.iter_batches(batch_format="pyarrow", batch_size=None))
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        return kernel(tbl.combine_chunks())
+
+    def merge_fn(paths: list[str]) -> pa.Table:
+        import polars as pl
+
+        all_pairs = pa.concat_tables([pq.read_table(p) for p in paths])
+        if len(all_pairs) == 0:
+            return all_pairs
+        return (
+            pl.from_arrow(all_pairs)
+            .unique(subset=["id_a", "id_b"])
+            .sort(["id_a", "id_b"])
+            .to_arrow()
+        )
+
+    ensure_store()
+    inputs = {f"b{b:04d}": b for b in range(num_buckets)}
+    return run_checkpointed(
+        out_dir, inputs, partial_fn, merge_fn, settings_obj=params, fail_after=fail_after
+    )
+
+
 def minhash_dedup_checkpointed(
     input_files: list[str],
     out_dir: str,

@@ -182,3 +182,72 @@ def test_simhash_checkpointed_crash_resume_and_streaming_parity(
         got[["id_a", "id_b"]].values.tolist()
         == stream[["id_a", "id_b"]].values.tolist()
     )
+
+
+@pytest.fixture()
+def dup_vecs_file(tmp_path):
+    """Embeddings with planted near-duplicate copies (deterministic noise)."""
+    import numpy as np
+    import pyarrow.parquet as pqq
+
+    src = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = src.column("vec_id").to_numpy()
+    mat = np.array(src.column("embedding").to_pylist(), dtype=np.float64)
+    keep = ids < 50
+    rng = np.random.default_rng(13)
+    noisy = mat[keep] + rng.normal(0, 1e-3, size=mat[keep].shape)
+    import pyarrow as pa_
+
+    dup = pa_.table(
+        {
+            "vec_id": pa_.array(ids[keep] + 1_000_000, type=pa_.int64()),
+            "embedding": pa_.array(noisy.tolist(), type=src.schema.field("embedding").type),
+        }
+    )
+    out = pa_.concat_tables([src, dup])
+    p = tmp_path / "vecs.parquet"
+    pqq.write_table(out, p)
+    return str(p)
+
+
+def test_embedding_checkpointed_crash_resume_and_streaming_parity(
+    ray_session, dup_vecs_file, tmp_path
+):
+    """embedding_dedup_checkpointed: crash-mid-run resume is byte-identical
+    to a clean run, and the pair set equals streaming
+    embedding_near_dup_pairs."""
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import embedding_near_dup_pairs
+    from rayhll.state.checkpoint import embedding_dedup_checkpointed
+
+    clean_dir = str(tmp_path / "e_clean")
+    crash_dir = str(tmp_path / "e_crash")
+
+    clean = embedding_dedup_checkpointed([dup_vecs_file], clean_dir, num_buckets=8)
+    assert clean.num_rows >= 50  # every planted copy found
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        embedding_dedup_checkpointed(
+            [dup_vecs_file], crash_dir, num_buckets=8, fail_after=3
+        )
+    resumed = embedding_dedup_checkpointed([dup_vecs_file], crash_dir, num_buckets=8)
+    assert resumed.equals(clean)
+    a = open(os.path.join(clean_dir, "result", "result.parquet"), "rb").read()
+    b = open(os.path.join(crash_dir, "result", "result.parquet"), "rb").read()
+    assert a == b
+
+    ds = rd.read_parquet(dup_vecs_file, columns=["vec_id", "embedding"])
+    stream = (
+        embedding_near_dup_pairs(ds, "embedding", "vec_id", dim=64, threshold=0.95)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    got = clean.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert (
+        got[["id_a", "id_b"]].values.tolist()
+        == stream[["id_a", "id_b"]].values.tolist()
+    )

@@ -132,6 +132,32 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    import ray.data as rd
+
+    from rayhll.pipelines.curate import curate_documents
+
+    _ensure_ray(args.num_cpus)
+    ds = rd.read_parquet(
+        sorted(glob.glob(args.input)),
+        columns=[args.id_col, args.lang_col, args.text_col],
+    )
+    out = curate_documents(
+        ds,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        lang_col=args.lang_col,
+        min_tokens=args.min_tokens,
+    )
+    if args.output:
+        out.write_parquet(args.output)
+        print(json.dumps({"rows": out.count(), "output": args.output}))
+    else:
+        for row in out.take_all():
+            print(json.dumps(row, default=str))
+    return 0
+
+
 def cmd_conformance(args) -> int:
     import subprocess
 
@@ -184,6 +210,18 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--exact", action="store_true", help="EXPLICIT exact mode")
     pr.add_argument("--num-cpus", type=int, default=None)
     pr.set_defaults(fn=cmd_profile)
+
+    cu = sub.add_parser(
+        "curate", help="quality-filter + exact-dedup + per-language rollup"
+    )
+    cu.add_argument("--input", required=True, help="input parquet glob")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--lang-col", default="lang")
+    cu.add_argument("--min-tokens", type=int, default=40)
+    cu.add_argument("--output", default=None, help="parquet output dir")
+    cu.add_argument("--num-cpus", type=int, default=None)
+    cu.set_defaults(fn=cmd_curate)
 
     c = sub.add_parser("conformance", help="replay the golden corpus")
     c.add_argument("--fail-fast", action="store_true")

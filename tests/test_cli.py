@@ -38,3 +38,41 @@ def test_cli_dedup_exact_matches_oracle(tmp_path):
         ).df()["min(doc_id)"]
     )
     assert kept == want
+
+
+def test_cli_curate_matches_oracle(tmp_path):
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "rayhll.cli",
+            "curate",
+            "--input",
+            f"{SF}/documents.parquet",
+            "--min-tokens",
+            "40",
+            "--num-cpus",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=180,
+        check=True,
+    )
+    rows = sorted(
+        (json.loads(l) for l in out.stdout.strip().splitlines()),
+        key=lambda r: r["lang"],
+    )
+    want = duckdb.sql(
+        "WITH s AS (SELECT doc_id, lang, text, "
+        "length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens "
+        f"FROM read_parquet('{SF}/documents.parquet')), "
+        "f AS (SELECT * FROM s WHERE n_tokens >= 40), "
+        "d AS (SELECT MIN(doc_id) AS keep_id FROM f GROUP BY text), "
+        "k AS (SELECT f.* FROM f JOIN d ON f.doc_id = d.keep_id) "
+        "SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens "
+        "FROM k GROUP BY lang ORDER BY lang"
+    ).df()
+    assert [r["lang"] for r in rows] == list(want["lang"])
+    assert [r["n_docs"] for r in rows] == [int(x) for x in want["n_docs"]]
+    assert [r["sum_tokens"] for r in rows] == [int(x) for x in want["sum_tokens"]]

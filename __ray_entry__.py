@@ -264,6 +264,17 @@ def _q_text_stats_documents(sf_dir: str):
     return out.select_columns(["doc_id", "n_chars_calc", "n_tokens", "n_spaces"])
 
 
+def _q_token_counts_documents(sf_dir: str):
+    """Whitespace + BPE-ish-pre-tokenizer token counts per document
+    (training-data costing), ORACLE-GATED: both patterns are lookahead-free
+    so polars (rust regex) and DuckDB (RE2) count identically."""
+    from rayhll.pipelines.text import TokenCount
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(TokenCount(), batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "n_tokens_ws", "n_tokens_bpe"])
+
+
 def _q_bloom_semijoin_lineitem_part(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1282,6 +1293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_sketch_hex_dump": _q_hll_sketch_hex_dump,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "text_stats_documents": _q_text_stats_documents,
+        "token_counts_documents": _q_token_counts_documents,
         "bloom_semijoin_lineitem_part": _q_bloom_semijoin_lineitem_part,
         "join_orders_customer_by_segment": _q_join_orders_customer_by_segment,
         "asof_join_click_purchase": _q_asof_join_click_purchase,
@@ -1354,6 +1366,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens, "
             "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces "
             "FROM documents"
+        ),
+        "token_counts_documents": (
+            "SELECT doc_id, "
+            "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens_ws, "
+            "CAST(length(regexp_extract_all(text, "
+            "$$'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+$$"
+            ")) AS BIGINT) AS n_tokens_bpe FROM documents"
         ),
         "bloom_semijoin_lineitem_part": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem WHERE l_partkey IN "

@@ -73,6 +73,42 @@ class TextStats:
         return out.append_column("quality_score", pa.array(quality, type=pa.float64()))
 
 
+#: BPE-ish pre-tokenizer (GPT-2-style, simplified to drop the lookahead so
+#: both the rust regex engine (polars) and RE2 (DuckDB) accept it):
+#: contraction suffixes, space-prefixed letter runs, digit runs, punctuation
+#: runs, whitespace runs.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+#: whitespace tokenization: maximal non-space runs
+WS_TOKEN_PATTERN = r"\S+"
+
+
+class TokenCount:
+    """Token-count stage (training-data costing staple): per document,
+
+    * ``n_tokens_ws``  — whitespace tokens (``\\S+`` runs);
+    * ``n_tokens_bpe`` — BPE-ish pre-tokenizer segments
+      (:data:`BPE_TOKEN_PATTERN`), the standard proxy for subword token
+      cost before a real tokenizer model runs.
+
+    Both are single vectorized polars ``count_matches`` passes and both
+    have exact DuckDB mirrors (``length(regexp_extract_all(...))``) —
+    oracle-gated in the driver."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([self.text_col]))
+        t = pl.col(self.text_col)
+        counts = df.select(
+            t.str.count_matches(WS_TOKEN_PATTERN).cast(pl.Int64).alias("n_tokens_ws"),
+            t.str.count_matches(BPE_TOKEN_PATTERN).cast(pl.Int64).alias("n_tokens_bpe"),
+        ).to_arrow()
+        return batch.append_column(
+            "n_tokens_ws", counts.column("n_tokens_ws")
+        ).append_column("n_tokens_bpe", counts.column("n_tokens_bpe"))
+
+
 class LangId:
     """Stopword + script heuristic language identification.
 

@@ -475,3 +475,70 @@ def test_range_join_replication_guard(ray_session):
         bin_width=1, max_replication=200_000,
     ).to_pandas()
     assert len(ok) == 2
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_bucket_equi_join_randomized_soak(ray_session, seed):
+    """Randomized differential soak of all six join modes vs DuckDB:
+    random sizes, duplicate keys (cross products), ~10% null keys, string
+    or int key dtype.  Semi/anti oracles use EXISTS/NOT EXISTS (the
+    null-key-safe SQL equivalent of the engine's 'nulls never match but
+    unmatched rows survive' contract)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions.join import bucket_equi_join
+
+    rng = np.random.default_rng(7100 + seed)
+    nl = int(rng.integers(50, 2000))
+    nr = int(rng.integers(20, 1500))
+    card = int(rng.choice([5, 60, 400]))
+    as_str = bool(rng.random() < 0.5)
+
+    def keys(n):
+        raw = rng.integers(0, card, size=n)
+        null = rng.random(n) < 0.1
+        if as_str:
+            return pa.array([None if m else f"k{v}" for v, m in zip(raw, null)])
+        return pa.array([None if m else int(v) for v, m in zip(raw, null)])
+
+    left = pa.table({"k": keys(nl), "lv": pa.array(rng.integers(0, 1_000, nl))})
+    right = pa.table({"k": keys(nr), "rv": pa.array(rng.integers(0, 1_000, nr))})
+    duckdb.register(f"jl_{seed}", left.to_pandas())
+    duckdb.register(f"jr_{seed}", right.to_pandas())
+    sqls = {
+        "inner": f"SELECT l.k, lv, rv FROM jl_{seed} l JOIN jr_{seed} r ON l.k = r.k",
+        "left": f"SELECT l.k, lv, rv FROM jl_{seed} l LEFT JOIN jr_{seed} r ON l.k = r.k",
+        "right": (
+            f"SELECT COALESCE(l.k, r.k) AS k, lv, rv FROM jl_{seed} l "
+            f"RIGHT JOIN jr_{seed} r ON l.k = r.k"
+        ),
+        "full": (
+            f"SELECT COALESCE(l.k, r.k) AS k, lv, rv FROM jl_{seed} l "
+            f"FULL JOIN jr_{seed} r ON l.k = r.k"
+        ),
+        "semi": (
+            f"SELECT l.k, lv FROM jl_{seed} l WHERE EXISTS "
+            f"(SELECT 1 FROM jr_{seed} r WHERE r.k = l.k)"
+        ),
+        "anti": (
+            f"SELECT l.k, lv FROM jl_{seed} l WHERE NOT EXISTS "
+            f"(SELECT 1 FROM jr_{seed} r WHERE r.k = l.k)"
+        ),
+    }
+    for how, sql in sqls.items():
+        got = bucket_equi_join(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(3),
+            on="k",
+            how=how,
+            num_buckets=8,
+        ).to_pandas()
+        want = duckdb.sql(sql).df()
+        cols = sorted(want.columns)
+        assert sorted(got.columns) == cols, (how, sorted(got.columns))
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(g) == len(w), (how, len(g), len(w))
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)

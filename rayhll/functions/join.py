@@ -11,10 +11,13 @@ instructions call "bucket by key hash when you must co-locate":
    only wide op);
 3. within each bucket the actual join runs vectorized in polars.
 
-Scale contract: one bucket's rows must fit in a reduce task; size
-``num_buckets`` to the smaller side (e.g. rows / 10M).  Skewed hot keys
-spread across buckets only if they differ in key — a single degenerate key
-lands in one bucket; pre-aggregate or salt such keys first.
+Scale contract: one bucket's rows must fit in a reduce task.
+``num_buckets=None`` (default) auto-sizes the fanout from the input row
+counts to target ~2M combined rows per reduce task
+(:func:`_resolve_join_buckets`); pass an explicit value to override.
+Skewed hot keys spread across buckets only if they differ in key — a
+single degenerate key lands in one bucket; pre-aggregate such keys first,
+or for range joins use ``bin_width`` salting.
 
 Prefer a broadcast lookup (``ray.put`` + ``pyarrow.compute.is_in`` /
 dict-join inside ``map_batches``) when one side fits in memory — see the
@@ -53,13 +56,41 @@ def _floor_bins(vals: np.ndarray, width) -> np.ndarray:
 
 _HOWS = ("inner", "left", "right", "full", "semi", "anti")
 
+#: target combined rows per join reduce task (same sizing philosophy as
+#: pipelines/dedup.TARGET_ROWS_PER_TASK)
+_TARGET_ROWS_PER_TASK = 2_000_000
+
+
+def _resolve_join_buckets(left, right, num_buckets) -> int:
+    """Co-locating bucket fanout for the shuffle joins.
+
+    Explicit ``num_buckets`` wins.  ``None`` auto-sizes from the two input
+    row counts so each ``groupby(bucket).map_groups`` task sees roughly
+    ``_TARGET_ROWS_PER_TASK`` combined rows — the fixed-64 default caps
+    reduce parallelism and OOMs tasks at 100-TB inputs.  ``count()`` is
+    metadata-only for un-transformed parquet reads; if the plan must
+    execute or fails, fall back to 64.  Power of two in [64, 2^20];
+    results are invariant to the choice (pinned by tests)."""
+    if num_buckets is not None:
+        if num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+        return int(num_buckets)
+    try:
+        n = (left.count() or 0) + (right.count() or 0)
+    except Exception:
+        return 64
+    if not n:
+        return 64
+    want = max(1, int(np.ceil(n / _TARGET_ROWS_PER_TASK)))
+    return max(64, min(1 << 20, 1 << (want - 1).bit_length()))
+
 
 def bucket_equi_join(
     left,
     right,
     on: list[str] | str,
     how: str = "inner",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     suffix: str = "_right",
 ):
     """Join two Datasets on equal ``on`` columns.
@@ -78,6 +109,7 @@ def bucket_equi_join(
         on = [on]
     if how not in _HOWS:
         raise ValueError(f"how={how!r} not in {_HOWS}")
+    num_buckets = _resolve_join_buckets(left, right, num_buckets)
 
     left_schema = left.schema()
     right_schema = right.schema()
@@ -240,7 +272,7 @@ def range_join(
     on: str,
     lo: str,
     hi: str,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     suffix: str = "_right",
     bin_width=None,
     max_replication: float = 64.0,
@@ -274,6 +306,7 @@ def range_join(
     this path."""
     if isinstance(by, str):
         by = [by]
+    num_buckets = _resolve_join_buckets(left, right, num_buckets)
     left_schema = left.schema()
     right_schema = right.schema()
     for k in [*by, on]:
@@ -393,7 +426,7 @@ def asof_join(
     on: str,
     by: list[str] | str,
     strategy: str = "backward",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     suffix: str = "_right",
     tolerance=None,
 ):
@@ -414,6 +447,7 @@ def asof_join(
         by = [by]
     if strategy not in ("backward", "forward", "nearest"):
         raise ValueError(f"strategy={strategy!r}")
+    num_buckets = _resolve_join_buckets(left, right, num_buckets)
 
     left_schema = left.schema()
     right_schema = right.schema()

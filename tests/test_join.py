@@ -542,3 +542,32 @@ def test_bucket_equi_join_randomized_soak(ray_session, seed):
         w = want[cols].sort_values(cols).reset_index(drop=True)
         assert len(g) == len(w), (how, len(g), len(w))
         pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_join_bucket_count_invariance(ray_session):
+    """Join results are invariant to the co-locating fanout (None/4/512),
+    and auto-sizing picks >=64."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions import join as jn
+
+    left = pa.table({"k": [1, 2, 3, 3, None], "lv": [1, 2, 3, 4, 5]})
+    right = pa.table({"k": [2, 3, 3, None], "rv": [20, 30, 31, 40]})
+    outs = []
+    for nb in (None, 4, 512):
+        df = (
+            jn.bucket_equi_join(
+                rd.from_arrow(left), rd.from_arrow(right), on="k",
+                how="full", num_buckets=nb,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+    assert jn._resolve_join_buckets(rd.from_arrow(left), rd.from_arrow(right), None) == 64
+    big = rd.range(5_000_000)
+    assert jn._resolve_join_buckets(big, big, None) == 64  # 10M rows / 2M = 5 -> floor 64
+    assert jn._resolve_join_buckets(rd.range(400_000_000), big, None) == 256

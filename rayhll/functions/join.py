@@ -56,9 +56,7 @@ def _floor_bins(vals: np.ndarray, width) -> np.ndarray:
 
 _HOWS = ("inner", "left", "right", "full", "semi", "anti")
 
-#: target combined rows per join reduce task (same sizing philosophy as
-#: pipelines/dedup.TARGET_ROWS_PER_TASK)
-_TARGET_ROWS_PER_TASK = 2_000_000
+# fanout sizing target lives in rayhll.functions.partitioning
 
 
 def _resolve_join_buckets(left, right, num_buckets) -> int:
@@ -66,11 +64,13 @@ def _resolve_join_buckets(left, right, num_buckets) -> int:
 
     Explicit ``num_buckets`` wins.  ``None`` auto-sizes from the two input
     row counts so each ``groupby(bucket).map_groups`` task sees roughly
-    ``_TARGET_ROWS_PER_TASK`` combined rows — the fixed-64 default caps
+    ``partitioning.TARGET_ROWS_PER_TASK`` combined rows — a fixed default caps
     reduce parallelism and OOMs tasks at 100-TB inputs.  ``count()`` is
     metadata-only for un-transformed parquet reads; if the plan must
     execute or fails, fall back to 64.  Power of two in [64, 2^20];
     results are invariant to the choice (pinned by tests)."""
+    from rayhll.functions.partitioning import buckets_for_rows
+
     if num_buckets is not None:
         if num_buckets < 1:
             raise ValueError("num_buckets must be >= 1")
@@ -81,8 +81,7 @@ def _resolve_join_buckets(left, right, num_buckets) -> int:
         return 64
     if not n:
         return 64
-    want = max(1, int(np.ceil(n / _TARGET_ROWS_PER_TASK)))
-    return max(64, min(1 << 20, 1 << (want - 1).bit_length()))
+    return buckets_for_rows(n)
 
 
 def bucket_equi_join(

@@ -38,12 +38,16 @@ def curate_documents(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     min_tokens: int = 40,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Quality-filter + exact-dedup + per-language rollup (see module doc).
 
     Returns a Dataset of ``(lang, n_docs, sum_tokens, min_doc_id)`` rows,
-    one per surviving language."""
+    one per surviving language.  ``num_buckets`` auto-sizes from the input
+    row count when ``None`` (``functions.partitioning``)."""
+    from rayhll.functions.partitioning import resolve_num_buckets
+
+    num_buckets = resolve_num_buckets(ds, num_buckets)
     stats = ds.map_batches(
         TextStats(text_col), batch_format="pyarrow", zero_copy_batch=True
     )

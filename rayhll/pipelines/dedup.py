@@ -32,11 +32,15 @@ from rayhll.sketches.minhash import band_hashes, signatures_for_offsets
 # exact dedup
 
 
-def exact_dedup_keep_ids(ds, text_col: str, id_col: str, num_buckets: int = 64):
+def exact_dedup_keep_ids(ds, text_col: str, id_col: str, num_buckets: int | None = None):
     """Dataset of the ids kept by exact dedup (min id per distinct text).
 
-    Equivalent SQL: ``SELECT MIN(id) FROM t GROUP BY text``.
-    """
+    Equivalent SQL: ``SELECT MIN(id) FROM t GROUP BY text``.  ``num_buckets``
+    auto-sizes from the input row count when ``None``
+    (``functions.partitioning``)."""
+    from rayhll.functions.partitioning import resolve_num_buckets
+
+    num_buckets = resolve_num_buckets(ds, num_buckets)
 
     def hash_stage(batch: pa.Table) -> pa.Table:
         h = hash64_table(batch, [text_col], seed=0xDD)
@@ -198,7 +202,7 @@ def _segment_bounds(sorted_keys: np.ndarray) -> np.ndarray:
 #: (id + truncated signature slots) ≈ 600 MiB working set per task worst
 #: case, comfortably inside a worker heap; on a cluster, more buckets only
 #: add (cheap) sort keys, while too few buckets OOM the reduce tasks.
-TARGET_ROWS_PER_TASK = 2_000_000
+from rayhll.functions.partitioning import TARGET_ROWS_PER_TASK  # noqa: E402 - canonical value
 
 
 def _resolve_num_buckets(ds, num_buckets, rows_per_doc: int) -> int:
@@ -214,18 +218,9 @@ def _resolve_num_buckets(ds, num_buckets, rows_per_doc: int) -> int:
     fails, fall back to 64.  Result is a power of two in [64, 2^20] —
     pair sets are invariant to the choice (pinned by
     tests/test_ray_pipelines.py::test_dedup_pairs_bucket_invariance)."""
-    if num_buckets is not None:
-        if num_buckets < 1:
-            raise ValueError("num_buckets must be >= 1")
-        return int(num_buckets)
-    try:
-        n = ds.count()
-    except Exception:
-        return 64
-    if n is None:
-        return 64
-    want = max(1, int(np.ceil(n * rows_per_doc / TARGET_ROWS_PER_TASK)))
-    return max(64, min(1 << 20, 1 << (want - 1).bit_length()))
+    from rayhll.functions.partitioning import resolve_num_buckets
+
+    return resolve_num_buckets(ds, num_buckets, rows_per_input_row=rows_per_doc)
 
 
 def _mod_bucket_col(values: np.ndarray, num_buckets: int) -> pa.Array:

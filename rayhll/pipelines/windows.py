@@ -169,7 +169,7 @@ def session_windows(
     ts_col: str,
     key_col: str,
     gap_us: int = US_PER_HOUR,
-    num_buckets: int = 256,
+    num_buckets: int | None = None,
 ):
     """Gap-based session windows per key: events of one key sorted by ts are
     split where the inter-event gap exceeds ``gap_us``.
@@ -184,8 +184,12 @@ def session_windows(
     Partitioning assumption: one bucket's events fit in one reduce task;
     raise ``num_buckets`` to shrink buckets.  Key identity within a bucket
     uses the 64-bit key hash (same collision contract as the grouped
-    aggregation — stages/build.py)."""
+    aggregation — stages/build.py).  ``num_buckets`` auto-sizes from the
+    event count when ``None`` (floor 256; ``functions.partitioning``)."""
     from rayhll.functions.hashing import hash64_table
+    from rayhll.functions.partitioning import resolve_num_buckets
+
+    num_buckets = resolve_num_buckets(ds, num_buckets, floor=256)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         kh = hash64_table(batch, [key_col], seed=0x5E55)

@@ -198,6 +198,7 @@ def broadcast_join(
     on: list[str] | str,
     how: str = "inner",
     suffix: str = "_right",
+    max_small_bytes: int = 4 << 30,
 ):
     """Shuffle-free join of a large Dataset against a SMALL side.
 
@@ -226,6 +227,13 @@ def broadcast_join(
     else:
         small_tbl = pa.concat_tables(
             ray.get(small.to_arrow_refs()), promote_options="default"
+        )
+    if small_tbl.nbytes > max_small_bytes:
+        raise ValueError(
+            f"broadcast_join small side is {small_tbl.nbytes / 2**30:.2f} GiB "
+            f"(max_small_bytes={max_small_bytes / 2**30:.2f} GiB) — every worker "
+            "holds a deserialized copy; use bucket_equi_join for two large sides "
+            "or raise max_small_bytes knowingly"
         )
     left_schema = left.schema()
     for k in on:

@@ -53,7 +53,12 @@ def grouped_top_k(
     Ties broken by order-column value only (rows equal in ``order_col`` are
     kept in arbitrary deterministic order, like SQL ROW_NUMBER with a
     non-unique ORDER BY); output columns = input columns.  Nulls (and float
-    NaNs) place LAST regardless of direction — SQL ``NULLS LAST``."""
+    NaNs) place LAST regardless of direction — SQL ``NULLS LAST``.
+
+    ``num_buckets`` stays a fixed default (unlike the raw-row-scale stages
+    sized by ``functions.partitioning``): the per-batch partial cut bounds
+    each reduce task's input at ``batches × groups × k`` rows, which does
+    not grow with raw row count — raise it only for huge group counts."""
     if isinstance(group_cols, str):
         group_cols = [group_cols]
 

@@ -571,3 +571,19 @@ def test_join_bucket_count_invariance(ray_session):
     big = rd.range(5_000_000)
     assert jn._resolve_join_buckets(big, big, None) == 64  # 10M rows / 2M = 5 -> floor 64
     assert jn._resolve_join_buckets(rd.range(400_000_000), big, None) == 256
+
+
+def test_broadcast_join_small_side_guard(ray_session):
+    """An oversized 'small' side raises with guidance instead of silently
+    fanning a giant table to every worker."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions.join import broadcast_join
+
+    left = rd.from_arrow(pa.table({"k": [1], "lv": [1]}))
+    small = pa.table({"k": [1, 2, 3], "rv": ["x" * 100, "y", "z"]})
+    with pytest.raises(ValueError, match="max_small_bytes"):
+        broadcast_join(left, small, on="k", max_small_bytes=10)
+    ok = broadcast_join(left, small, on="k").to_pandas()
+    assert len(ok) == 1

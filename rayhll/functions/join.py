@@ -436,6 +436,7 @@ def asof_join(
     num_buckets: int | None = None,
     suffix: str = "_right",
     tolerance=None,
+    bin_width=None,
 ):
     """As-of join: each left row is matched to the right row with the same
     ``by`` keys and the nearest ``on`` value at-or-before it (``backward``,
@@ -446,15 +447,42 @@ def asof_join(
     Left rows without a match keep nulls (left-join semantics, matching
     DuckDB's ``ASOF LEFT JOIN``).  ``on`` must exist in BOTH sides with a
     comparable type; right non-key columns colliding with left names get
-    ``suffix``.  Partitioning assumption: all rows of one ``by``-hash
-    bucket fit in one reduce task (same contract as session windows);
-    raise ``num_buckets`` to shrink buckets.
-    """
+    ``suffix``.  Partitioning assumption (default path): all rows of one
+    ``by``-hash bucket fit in one reduce task (same contract as session
+    windows); raise ``num_buckets`` to shrink buckets.
+
+    ``bin_width`` (hot-key salting, same idea as :func:`range_join`):
+    requires a NUMERIC ``tolerance`` (both in the ``on`` column's native
+    ticks, e.g. microseconds for ``timestamp[us]``) with
+    ``bin_width >= tolerance``.  Each left row goes to its single
+    ``on``-bin; each right row replicates to the 2 (backward/forward) or
+    3 (nearest) neighboring bins that any tolerance-window can reach, and
+    the co-locating bucket hashes ``(by, bin)`` — a hot key spreads across
+    the fanout while every left row still sees its true nearest match
+    (the tolerance bound guarantees the match lies in the same or adjacent
+    bin).  Each left row lives in exactly one bin, so output rows stay
+    exactly-once; results are identical to the unsalted path (pinned by
+    tests).  Null-``on`` right rows can never match and are dropped on
+    this path; null-``on`` left rows survive with null right columns."""
     if isinstance(by, str):
         by = [by]
     if strategy not in ("backward", "forward", "nearest"):
         raise ValueError(f"strategy={strategy!r}")
+    if bin_width is not None:
+        if not isinstance(tolerance, (int, float)) or tolerance <= 0:
+            raise ValueError(
+                "salted asof_join (bin_width set) requires a positive numeric "
+                "tolerance in the on column's native ticks"
+            )
+        if bin_width < tolerance:
+            raise ValueError(
+                f"bin_width={bin_width} must be >= tolerance={tolerance} "
+                "(a match may otherwise live beyond the adjacent bin)"
+            )
     num_buckets = _resolve_join_buckets(left, right, num_buckets)
+    _bin_offsets = {"backward": (0, 1), "forward": (-1, 0), "nearest": (-1, 0, 1)}[
+        strategy
+    ]
 
     left_schema = left.schema()
     right_schema = right.schema()
@@ -496,12 +524,33 @@ def asof_join(
             else:
                 cols[name] = pa.nulls(n, type=typ)
         out = pa.table(cols)
+        if bin_width is not None:
+            if is_right:
+                valid = ~pc.is_null(out.column(on)).to_numpy(zero_copy_only=False)
+                out = out.filter(pa.array(valid))
+                vals = out.column(on).combine_chunks().to_numpy(zero_copy_only=False)
+                fb = _floor_bins(vals, bin_width)
+                idx = np.repeat(
+                    np.arange(len(out), dtype=np.int64), len(_bin_offsets)
+                )
+                bins = (fb[:, None] + np.array(_bin_offsets, dtype=np.int64)).ravel()
+                out = out.take(idx)
+            else:
+                null_mask = pc.is_null(out.column(on)).to_numpy(zero_copy_only=False)
+                vals = out.column(on).combine_chunks().to_numpy(zero_copy_only=False)
+                bins = _floor_bins(vals, bin_width)
+                bins[null_mask] = 0  # null-on left rows: any bucket, no match
+            out = out.append_column(_RJ_BIN_COL, pa.array(bins, type=pa.int64()))
+        m = len(out)
         h = hash64_table(out, by, seed=0xA50F)
+        hv = h.view(np.uint64)
+        if bin_width is not None:
+            hv = hv ^ (bins.view(np.uint64) * _GOLDEN64)
         out = out.append_column(
             _BUCKET_COL,
-            pa.array((h.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)),
+            pa.array((hv % np.uint64(num_buckets)).astype(np.int64)),
         )
-        return out.append_column(_SIDE_COL, pa.array(np.full(n, is_right, dtype=bool)))
+        return out.append_column(_SIDE_COL, pa.array(np.full(m, is_right, dtype=bool)))
 
     tagged_left = left.map_batches(
         lambda t: pad(t, False), batch_format="pyarrow", zero_copy_batch=True
@@ -514,17 +563,25 @@ def asof_join(
     right_names = [d for _, d, _ in right_out]
 
     def join_bucket(tbl: pa.Table) -> pa.Table:
+        import datetime
         import warnings
 
         df = pl.from_arrow(tbl)
         lhs = df.filter(~pl.col(_SIDE_COL)).select(left_names).sort(on)
         rhs = df.filter(pl.col(_SIDE_COL)).select([*by, on, *right_names]).sort(on)
+        tol = tolerance
+        if isinstance(tol, (int, float)) and isinstance(df.schema[on], pl.Datetime):
+            # numeric tolerances are in native ticks; polars wants a duration
+            unit = df.schema[on].time_unit
+            us = float(tol) / (1000.0 if unit == "ns" else 1.0)
+            us = us * 1000.0 if unit == "ms" else us
+            tol = datetime.timedelta(microseconds=us)
         with warnings.catch_warnings():
             # both frames ARE sorted on `on` (two lines up); polars just
             # can't verify per-`by`-group sortedness and warns
             warnings.simplefilter("ignore", UserWarning)
             out = lhs.join_asof(
-                rhs, on=on, by=by, strategy=strategy, tolerance=tolerance
+                rhs, on=on, by=by, strategy=strategy, tolerance=tol
             )
         return out.select(left_names + right_names).to_arrow()
 

@@ -587,3 +587,108 @@ def test_broadcast_join_small_side_guard(ray_session):
         broadcast_join(left, small, on="k", max_small_bytes=10)
     ok = broadcast_join(left, small, on="k").to_pandas()
     assert len(ok) == 1
+
+
+@pytest.mark.parametrize("strategy", ["backward", "forward", "nearest"])
+def test_asof_join_salted_matches_unsalted(ray_session, strategy):
+    """Tolerance-bounded asof salting returns the exact unsalted result
+    under a degenerate hot key (incl. null on-values on both sides)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions.join import asof_join
+
+    rng = np.random.default_rng(31)
+    n_l, n_r = 3000, 800
+    left = pa.table(
+        {
+            "k": pa.array(["hot"] * n_l + ["k2"] * 50 + ["hot"] * 3),
+            "pos": pa.array(
+                list(rng.integers(0, 10_000, n_l))
+                + list(rng.integers(0, 500, 50))
+                + [None] * 3,
+                type=pa.int64(),
+            ),
+            "lid": pa.array(np.arange(n_l + 53, dtype=np.int64)),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(["hot"] * n_r + ["k2"] * 20 + ["hot"]),
+            "pos": pa.array(
+                list(rng.integers(0, 10_000, n_r))
+                + list(rng.integers(0, 500, 20))
+                + [None],
+                type=pa.int64(),
+            ),
+            "rv": pa.array(np.arange(n_r + 21, dtype=np.int64)),
+        }
+    )
+    kw = dict(on="pos", by="k", strategy=strategy, tolerance=50)
+    base = (
+        asof_join(rd.from_arrow(left), rd.from_arrow(right), **kw)
+        .to_pandas()
+        .sort_values(["k", "lid"])
+        .reset_index(drop=True)
+    )
+    assert len(base) == len(left)  # left-join semantics survive
+    for bw in (50, 170):
+        salted = (
+            asof_join(
+                rd.from_arrow(left), rd.from_arrow(right), bin_width=bw,
+                num_buckets=16, **kw,
+            )
+            .to_pandas()
+            .sort_values(["k", "lid"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(salted, base, check_dtype=False)
+
+
+def test_asof_join_salted_timestamps_and_validation(ray_session):
+    """Salted asof on real timestamp[us] data (numeric tolerance converted
+    to a duration in-bucket) equals the unsalted result; bad salt configs
+    raise."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from rayhll.functions.join import asof_join
+
+    ev = f"{SF}/events.parquet"
+
+    def side(etype, extra):
+        return rd.read_parquet(ev, columns=["ts", "user_id", "event_type"]).map_batches(
+            lambda t, e=etype, x=extra: t.filter(pc.equal(t.column("event_type"), e))
+            .drop_columns(["event_type"])
+            .rename_columns(["ts", "user_id"] if not x else ["ts", "user_id"]),
+            batch_format="pyarrow",
+        )
+
+    clicks = side("click", False)
+    views = side("view", False).map_batches(
+        lambda t: t.append_column("view_ts", t.column("ts")), batch_format="pyarrow"
+    )
+    hour_us = 3_600_000_000
+    kw = dict(on="ts", by="user_id", strategy="backward", tolerance=hour_us)
+    base = (
+        asof_join(clicks, views, **kw)
+        .to_pandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    salted = (
+        asof_join(clicks, views, bin_width=hour_us, **kw)
+        .to_pandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(base) > 0 and base["view_ts"].notna().any()
+    pd.testing.assert_frame_equal(salted, base, check_dtype=False)
+    with pytest.raises(ValueError, match="numeric"):
+        asof_join(clicks, views, on="ts", by="user_id", bin_width=hour_us)
+    with pytest.raises(ValueError, match="must be >= tolerance"):
+        asof_join(
+            clicks, views, on="ts", by="user_id",
+            tolerance=hour_us, bin_width=hour_us - 1,
+        )

@@ -62,13 +62,14 @@ _HOWS = ("inner", "left", "right", "full", "semi", "anti")
 def _resolve_join_buckets(left, right, num_buckets) -> int:
     """Co-locating bucket fanout for the shuffle joins.
 
-    Explicit ``num_buckets`` wins.  ``None`` auto-sizes from the two input
-    row counts so each ``groupby(bucket).map_groups`` task sees roughly
-    ``partitioning.TARGET_ROWS_PER_TASK`` combined rows — a fixed default caps
-    reduce parallelism and OOMs tasks at 100-TB inputs.  ``count()`` is
-    metadata-only for un-transformed parquet reads; if the plan must
-    execute or fails, fall back to 64.  Power of two in [64, 2^20];
-    results are invariant to the choice (pinned by tests)."""
+    Explicit ``num_buckets`` wins.  ``None`` auto-sizes from the two inputs'
+    METADATA row counts so each ``groupby(bucket).map_groups`` task sees
+    roughly ``partitioning.TARGET_ROWS_PER_TASK`` combined rows — a fixed
+    default caps reduce parallelism and OOMs tasks at 100-TB inputs.
+    Transformed inputs have no metadata count and fall back to 64 (never
+    execute a plan to size a fanout); pass ``num_buckets`` explicitly
+    there.  Power of two in [64, 2^20]; results are invariant to the
+    choice (pinned by tests)."""
     from rayhll.functions.partitioning import buckets_for_rows
 
     if num_buckets is not None:
@@ -76,7 +77,7 @@ def _resolve_join_buckets(left, right, num_buckets) -> int:
             raise ValueError("num_buckets must be >= 1")
         return int(num_buckets)
     try:
-        n = (left.count() or 0) + (right.count() or 0)
+        n = (left._meta_count() or 0) + (right._meta_count() or 0)
     except Exception:
         return 64
     if not n:

@@ -30,15 +30,17 @@ def resolve_num_buckets(
     ds, num_buckets, rows_per_input_row: float = 1.0, floor: int = 64
 ) -> int:
     """Explicit ``num_buckets`` wins (validated); ``None`` auto-sizes from
-    ``ds.count()`` — metadata-only for un-transformed parquet reads (the
-    normal call shape); if the plan would have to execute or counting
-    fails, fall back to ``floor``."""
+    the dataset's METADATA row count (``_meta_count`` — available for
+    un-transformed reads/ranges, the normal call shape, and never executes
+    the plan).  Transformed inputs have no metadata count and fall back to
+    ``floor`` — auto-sizing must never silently double-execute an upstream
+    pipeline; pass ``num_buckets`` explicitly there."""
     if num_buckets is not None:
         if num_buckets < 1:
             raise ValueError("num_buckets must be >= 1")
         return int(num_buckets)
     try:
-        n = ds.count()
+        n = ds._meta_count()
     except Exception:
         return floor
     if not n:

@@ -213,9 +213,9 @@ def _resolve_num_buckets(ds, num_buckets, rows_per_doc: int) -> int:
     ``TARGET_ROWS_PER_TASK`` exploded rows (docs × rows_per_doc — bands,
     simhash chunks, or hyperplane tables), the fix for the fixed 64-way
     fanout that would OOM reduce tasks at 100-TB inputs however vectorized
-    the kernel is.  ``ds.count()`` is metadata-only for un-transformed
-    parquet reads (the normal call shape); if the plan must execute or
-    fails, fall back to 64.  Result is a power of two in [64, 2^20] —
+    the kernel is.  Sizing uses the dataset's METADATA count only
+    (``functions.partitioning``) — transformed inputs fall back to 64
+    rather than executing the plan.  Result is a power of two in [64, 2^20] —
     pair sets are invariant to the choice (pinned by
     tests/test_ray_pipelines.py::test_dedup_pairs_bucket_invariance)."""
     from rayhll.functions.partitioning import resolve_num_buckets

@@ -156,6 +156,7 @@ def flagship_grouped(
     include_sketches: bool = False,
     hash_content: bool = True,
     premerge_batch: int | None = None,
+    num_buckets: int | None = None,
 ):
     """Per-(repo, lang) distinct estimates for all three keys.
 
@@ -171,7 +172,15 @@ def flagship_grouped(
     Ray cluster spans multiple nodes or $RAYHLL_NETWORK_BOUND is set (the
     exchange is network-bound there, so the byte cut dominates), OFF on a
     single node where the sort is CPU-bound; ``0`` forces off — see
-    ``stages.build.resolve_premerge_batch``."""
+    ``stages.build.resolve_premerge_batch``.
+
+    ``num_buckets`` (reduce fanout for the grouped merge) auto-sizes from
+    the input's METADATA row count when ``None`` — an upper bound since the
+    shuffle carries pre-aggregated rows; transformed inputs (no metadata
+    count) keep the 64 floor (``functions.partitioning``)."""
+    from rayhll.functions.partitioning import resolve_num_buckets
+
+    num_buckets = resolve_num_buckets(ds, num_buckets)
     if hash_content:
         ds = ds.map_batches(
             HashStage(), batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
@@ -180,12 +189,17 @@ def flagship_grouped(
     if concurrency is not None:
         partials = ds.map_batches(
             MultiKeyBuild,
-            fn_constructor_kwargs=dict(settings=settings, grouped=True),
+            fn_constructor_kwargs=dict(
+                settings=settings, grouped=True, num_buckets=num_buckets
+            ),
             concurrency=concurrency,
             **kwargs,
         )
     else:
-        partials = ds.map_batches(MultiKeyBuild(settings=settings, grouped=True), **kwargs)
+        partials = ds.map_batches(
+            MultiKeyBuild(settings=settings, grouped=True, num_buckets=num_buckets),
+            **kwargs,
+        )
     premerge_batch = build_stage.resolve_premerge_batch(premerge_batch)
     if premerge_batch:
         pre = build_stage.make_local_premerge(list(GROUP_COLS), list(SKETCH_COLS))

@@ -60,17 +60,27 @@ def build_partials(
     batch_size: int | None = 262144,
     concurrency=None,
     ignore_nulls: bool = True,
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Collapse input rows to partial-sketch rows (see stages.build).
 
     ``ignore_nulls`` (default, SQL semantics): rows whose key tuple contains
-    a NULL contribute nothing to the distinct count."""
+    a NULL contribute nothing to the distinct count.  ``num_buckets``
+    (reduce fanout for the downstream grouped merge) auto-sizes from the
+    input's metadata row count when ``None`` — an upper bound, since the
+    shuffle carries pre-aggregated rows (floor 64 keeps small runs
+    byte-identical; ``functions.partitioning``)."""
+    from rayhll.functions.partitioning import resolve_num_buckets
+    from rayhll.stages.build import DEFAULT_NUM_BUCKETS
+
+    num_buckets = resolve_num_buckets(ds, num_buckets, floor=DEFAULT_NUM_BUCKETS)
     fn_args = dict(
         key_cols=key_cols,
         group_cols=group_cols,
         settings=settings,
         hash_method=hash_method,
         ignore_nulls=ignore_nulls,
+        num_buckets=num_buckets,
     )
     kwargs = dict(
         batch_format="pyarrow",
@@ -149,6 +159,7 @@ def grouped_approx_distinct(
     include_sketch: bool = False,
     premerge_batch: int | None = None,
     ignore_nulls: bool = True,
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Distinct-per-group dataset: ``group_cols... , estimate:int64``.
 
@@ -172,6 +183,7 @@ def grouped_approx_distinct(
         batch_size=batch_size,
         concurrency=concurrency,
         ignore_nulls=ignore_nulls,
+        num_buckets=num_buckets,
     )
     from rayhll.stages.build import make_local_premerge, resolve_premerge_batch
 
@@ -220,17 +232,21 @@ def grouped_aggregate_family(
     build_partial,
     family_cls,
     finalize=None,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Grouped aggregation for any sketch family: ``build_partial(sub_batch)
     -> bytes`` per (batch, group), hash-bucketed shuffle of blob rows, merge
     per group, optional ``finalize(sketch) -> dict[str, value]`` columns.
 
     Same skew story as the HLL path: the shuffle carries one family blob per
-    (block, group), never input rows."""
+    (block, group), never input rows.  ``num_buckets`` auto-sizes from the
+    input's metadata row count when ``None`` (an upper bound; floor 64)."""
     import numpy as np
 
     from rayhll.functions.hashing import hash64_table
+    from rayhll.functions.partitioning import resolve_num_buckets
+
+    num_buckets = resolve_num_buckets(ds, num_buckets)
 
     def partials(batch: pa.Table) -> pa.Table:
         ghash = hash64_table(batch, group_cols, seed=0xFA71)

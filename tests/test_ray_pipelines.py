@@ -1080,7 +1080,7 @@ def test_resolve_num_buckets_heuristic(ray_session):
         def __init__(self, n):
             self._n = n
 
-        def count(self):
+        def _meta_count(self):
             return self._n
 
     # 1e9 docs x 32 bands = 3.2e10 rows -> 16384 tasks of ~2M rows
@@ -1090,11 +1090,11 @@ def test_resolve_num_buckets_heuristic(ray_session):
     # absurd scale stays under the 2^20 cap
     assert _resolve_num_buckets(FakeCount(10**13), None, 32) == 1 << 20
 
-    class Broken:
-        def count(self):
-            raise RuntimeError("plan must execute")
+    class NoMeta:
+        def _meta_count(self):
+            return None  # transformed plan: sizing must not execute it
 
-    assert _resolve_num_buckets(Broken(), None, 32) == 64  # safe fallback
+    assert _resolve_num_buckets(NoMeta(), None, 32) == 64  # safe fallback
 
 
 def test_ngram_jaccard_nondefault_gram(ray_session):

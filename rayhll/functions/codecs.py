@@ -340,6 +340,11 @@ def decode_png(data: bytes) -> np.ndarray:
         (length,) = struct.unpack_from(">I", data, pos)
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch (corrupt payload)")
         pos += 12 + length
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)

@@ -406,3 +406,16 @@ def test_png_through_decode_stage(ray_session):
     assert out["decode_ok"].all()
     assert list(out["width"]) == [7, 8, 9, 10]
     assert list(out["height"]) == [11, 12, 13, 14]
+
+
+def test_png_crc_and_truncation_detected():
+    """Bit flips and truncation fail loudly instead of decoding garbage."""
+    rng = np.random.default_rng(6)
+    data = bytearray(codecs.encode_png(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)))
+    data[60] ^= 0xFF  # corrupt inside IDAT
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        codecs.decode_png(bytes(data))
+    good = codecs.encode_png(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
+    # cut into the IDAT chunk body (IEND is the trailing 12 bytes)
+    with pytest.raises(ValueError, match="truncated|missing"):
+        codecs.decode_png(good[:-20])

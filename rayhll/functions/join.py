@@ -537,8 +537,14 @@ def asof_join(
                 bins = (fb[:, None] + np.array(_bin_offsets, dtype=np.int64)).ravel()
                 out = out.take(idx)
             else:
-                null_mask = pc.is_null(out.column(on)).to_numpy(zero_copy_only=False)
-                vals = out.column(on).combine_chunks().to_numpy(zero_copy_only=False)
+                col = out.column(on).combine_chunks()
+                null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+                if null_mask.any():
+                    # fill first so integer columns stay integer through
+                    # to_numpy (a null-driven float64 round-trip would
+                    # mis-bin values >= 2^53)
+                    col = pc.fill_null(col, pa.scalar(0).cast(col.type))
+                vals = col.to_numpy(zero_copy_only=False)
                 bins = _floor_bins(vals, bin_width)
                 bins[null_mask] = 0  # null-on left rows: any bucket, no match
             out = out.append_column(_RJ_BIN_COL, pa.array(bins, type=pa.int64()))

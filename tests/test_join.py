@@ -692,3 +692,42 @@ def test_asof_join_salted_timestamps_and_validation(ray_session):
             clicks, views, on="ts", by="user_id",
             tolerance=hour_us, bin_width=hour_us - 1,
         )
+
+
+def test_asof_join_salted_huge_int_keys_with_nulls(ray_session):
+    """int64 on-values >= 2^53 bin exactly even when the column also holds
+    nulls (a float64 round-trip would mis-bin them)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions.join import asof_join
+
+    base = np.int64(1 << 60)
+    lpos = [int(base + i * 37 + 1) for i in range(400)] + [None] * 3
+    rpos = [int(base + i * 53) for i in range(300)] + [None]
+    left = pa.table(
+        {
+            "k": pa.array(["h"] * 403),
+            "pos": pa.array(lpos, type=pa.int64()),
+            "lid": pa.array(np.arange(403, dtype=np.int64)),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(["h"] * 301),
+            "pos": pa.array(rpos, type=pa.int64()),
+            "rv": pa.array(np.arange(301, dtype=np.int64)),
+        }
+    )
+    kw = dict(on="pos", by="k", strategy="backward", tolerance=64)
+    base_df = (
+        asof_join(rd.from_arrow(left), rd.from_arrow(right), **kw)
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    salted = (
+        asof_join(rd.from_arrow(left), rd.from_arrow(right), bin_width=64, **kw)
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    assert base_df["rv"].notna().sum() > 100  # plenty of real matches
+    pd.testing.assert_frame_equal(salted, base_df, check_dtype=False)

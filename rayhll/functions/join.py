@@ -464,7 +464,14 @@ def asof_join(
     bin).  Each left row lives in exactly one bin, so output rows stay
     exactly-once; results are identical to the unsalted path (pinned by
     tests).  Null-``on`` right rows can never match and are dropped on
-    this path; null-``on`` left rows survive with null right columns."""
+    this path; null-``on`` left rows survive with null right columns.
+
+    When to salt: unlike the range join (quadratic in-bucket blowup), the
+    in-bucket as-of kernel is O(n log n), so a hot key is a MEMORY problem,
+    not a CPU one — measured single-node, salting costs ~2.7x wall
+    (replication + finer groupby; PERF_NOTES #21).  Salt only when one
+    key's rows exceed a reduce task's memory budget; otherwise leave
+    ``bin_width`` unset."""
     if isinstance(by, str):
         by = [by]
     if strategy not in ("backward", "forward", "nearest"):

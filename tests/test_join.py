@@ -731,3 +731,42 @@ def test_asof_join_salted_huge_int_keys_with_nulls(ray_session):
     )
     assert base_df["rv"].notna().sum() > 100  # plenty of real matches
     pd.testing.assert_frame_equal(salted, base_df, check_dtype=False)
+
+
+def test_new_operators_handle_empty_inputs(ray_session):
+    """Empty sides flow through broadcast/salted joins and curation without
+    errors and with correct (empty or left-preserving) results."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions.join import asof_join, broadcast_join, range_join
+    from rayhll.pipelines.curate import curate_documents
+
+    empty_l = pa.table({"k": pa.array([], type=pa.int64()), "pos": pa.array([], type=pa.int64())})
+    some_r = pa.table({"k": pa.array([1]), "lo": pa.array([0]), "hi": pa.array([10]), "rv": pa.array([5])})
+    out = range_join(
+        rd.from_arrow(empty_l), rd.from_arrow(some_r),
+        by="k", on="pos", lo="lo", hi="hi", bin_width=5, num_buckets=4,
+    ).to_pandas()
+    assert len(out) == 0
+
+    some_l = pa.table({"k": pa.array([1, 2]), "pos": pa.array([3, 9]), "lid": pa.array([0, 1])})
+    empty_r = pa.table({"k": pa.array([], type=pa.int64()), "pos": pa.array([], type=pa.int64()), "rv": pa.array([], type=pa.int64())})
+    aj = asof_join(
+        rd.from_arrow(some_l), rd.from_arrow(empty_r),
+        on="pos", by="k", tolerance=5, bin_width=5, num_buckets=4,
+    ).to_pandas()
+    assert len(aj) == 2 and aj["rv"].isna().all()  # left rows survive
+
+    bj = broadcast_join(
+        rd.from_arrow(some_l),
+        pa.table({"k": pa.array([], type=pa.int64()), "w": pa.array([], type=pa.string())}),
+        on="k", how="left",
+    ).to_pandas()
+    assert len(bj) == 2 and bj["w"].isna().all()
+
+    empty_docs = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()), "lang": pa.array([], type=pa.string()), "text": pa.array([], type=pa.string())}
+    )
+    cu = curate_documents(rd.from_arrow(empty_docs)).to_pandas()
+    assert len(cu) == 0

@@ -455,6 +455,41 @@ def _q_curation_docs_by_lang(sf_dir: str):
     return curate_documents(ds, min_tokens=40)
 
 
+def _q_fraction_sample_split_documents(sf_dir: str):
+    """Deterministic hash-fraction train/held-out split, ORACLE-GATED on its
+    invariants: per language, |sample(0.3)| + |complement(0.3)| must equal
+    the table count exactly (disjoint-and-complete by construction), and
+    the coordinated-subsample property (sample(0.1) ⊆ sample(0.3)) must
+    hold — ``split_ok`` asserts both; oracle = per-lang COUNT(*) + TRUE.
+    Membership itself is hash-defined (not SQL-computable); the invariants
+    are."""
+    import pyarrow as pa
+
+    from rayhll.functions.sample import (
+        hash_fraction_complement,
+        hash_fraction_sample,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    s30 = hash_fraction_sample(ds, "doc_id", 0.3).to_pandas()
+    c30 = hash_fraction_complement(ds, "doc_id", 0.3).to_pandas()
+    s10 = hash_fraction_sample(ds, "doc_id", 0.1).to_pandas()
+    # verification rollup: the split tables here are driver-small (<= the
+    # documents table); at scale the same invariants are per-batch filters
+    disjoint = len(set(s30.doc_id) & set(c30.doc_id)) == 0
+    coordinated = set(s10.doc_id) <= set(s30.doc_id)
+    n_s = s30.groupby("lang").size()
+    n_c = c30.groupby("lang").size()
+    total = n_s.add(n_c, fill_value=0).astype(int).sort_index()
+    return pa.table(
+        {
+            "lang": pa.array(list(total.index), type=pa.string()),
+            "n_docs": pa.array(list(total.values), type=pa.int64()),
+            "split_ok": pa.array([bool(disjoint and coordinated)] * len(total)),
+        }
+    )
+
+
 def _q_grouped_top_k_orders(sf_dir: str):
     """Per-group top-k (curation staple: 'k smallest per class'),
     ORACLE-GATED vs the SQL window function."""
@@ -1300,6 +1335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events_windows": _q_range_join_events_windows,
         "broadcast_join_lineitem_brand": _q_broadcast_join_lineitem_brand,
         "curation_docs_by_lang": _q_curation_docs_by_lang,
+        "fraction_sample_split_documents": _q_fraction_sample_split_documents,
         "grouped_top_k_orders": _q_grouped_top_k_orders,
         "grouped_sample_documents": _q_grouped_sample_documents,
         "countmin_event_type_counts": _q_countmin_event_type_counts,
@@ -1404,6 +1440,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_items, "
             "SUM(l.l_quantity) AS sum_qty FROM lineitem l "
             "JOIN part p ON l.l_partkey = p.p_partkey GROUP BY p.p_brand"
+        ),
+        "fraction_sample_split_documents": (
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS split_ok "
+            "FROM documents GROUP BY lang"
         ),
         "curation_docs_by_lang": (
             "WITH s AS (SELECT doc_id, lang, text, "

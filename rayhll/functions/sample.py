@@ -151,3 +151,51 @@ def grouped_hash_sample(
         num_buckets=num_buckets,
     )
     return out.drop_columns([_ORDER])
+
+
+def hash_fraction_sample(ds, id_cols: list[str] | str, fraction: float, seed: int = 0x5A17):
+    """Deterministic ``fraction`` sample: keep rows whose seeded 64-bit
+    id-hash falls below ``fraction`` of the hash space.
+
+    The curation staple for web-scale corpora: a pure per-batch filter —
+    NO shuffle, no RNG state, no coordination — that is reproducible
+    across runs, batchings and cluster shapes, COORDINATED (the same ids
+    are kept at every fraction: ``sample(0.1)`` ⊆ ``sample(0.3)``, so
+    growing a subsample never resamples), and composable with
+    :func:`hash_fraction_complement` (exactly the other rows — a held-out
+    split disjoint by construction).
+    Sampling is uniform per id, hence ~``fraction`` within every group
+    without ever grouping.  Rows where every id column is NULL hash
+    deterministically and land on one side, same as any other id.
+    """
+    if isinstance(id_cols, str):
+        id_cols = [id_cols]
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction={fraction} not in [0, 1]")
+    threshold = np.uint64(int(fraction * float(1 << 64))) if fraction < 1.0 else None
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        if threshold is None:
+            return tbl
+        h = hash64_table(tbl, id_cols, seed=seed).view(np.uint64)
+        return tbl.filter(pa.array(h < threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_fraction_complement(ds, id_cols: list[str] | str, fraction: float, seed: int = 0x5A17):
+    """Exactly the rows :func:`hash_fraction_sample` drops — e.g. a
+    held-out split that is disjoint by construction."""
+    if isinstance(id_cols, str):
+        id_cols = [id_cols]
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction={fraction} not in [0, 1]")
+    threshold = np.uint64(int(fraction * float(1 << 64))) if fraction < 1.0 else None
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        if threshold is None:
+            return tbl.slice(0, 0)
+        h = hash64_table(tbl, id_cols, seed=seed).view(np.uint64)
+        return tbl.filter(pa.array(h >= threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

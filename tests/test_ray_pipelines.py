@@ -1205,3 +1205,37 @@ def test_grouped_top_k_uint64_and_nulls(ray_session):
     # with k == n the null row IS returned (it's a selection, not a filter)
     all_rows = grouped_top_k(dn, "g", "o", k=4).to_pandas()
     assert sorted(all_rows.id) == [0, 1, 2, 3]
+
+
+def test_hash_fraction_sample_properties(ray_session):
+    """Deterministic fraction sampling: batch-layout invariance, exact
+    complementarity, coordinated subsamples, binomial-range fraction."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions.sample import (
+        hash_fraction_complement,
+        hash_fraction_sample,
+    )
+
+    n = 100_000
+    t = pa.table({"doc_id": pa.array(range(n), type=pa.int64())})
+    for blocks in (2, 17):
+        ds = rd.from_arrow(t).repartition(blocks)
+        s = set(hash_fraction_sample(ds, "doc_id", 0.2).to_pandas().doc_id)
+        c = set(hash_fraction_complement(ds, "doc_id", 0.2).to_pandas().doc_id)
+        assert len(s & c) == 0 and len(s) + len(c) == n
+        # binomial 6-sigma band around 20%
+        assert abs(len(s) - 0.2 * n) < 6 * (0.2 * 0.8 * n) ** 0.5
+        s_small = set(hash_fraction_sample(ds, "doc_id", 0.05).to_pandas().doc_id)
+        assert s_small <= s  # coordinated
+        if blocks == 2:
+            first = s
+        else:
+            assert s == first  # layout-invariant
+    ds = rd.from_arrow(t)
+    assert hash_fraction_sample(ds, "doc_id", 1.0).count() == n
+    assert hash_fraction_sample(ds, "doc_id", 0.0).count() == 0
+    assert hash_fraction_complement(ds, "doc_id", 1.0).count() == 0
+    with pytest.raises(ValueError):
+        hash_fraction_sample(ds, "doc_id", 1.5)

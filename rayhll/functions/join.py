@@ -1,8 +1,11 @@
 """Distributed equi-join as a Ray-Data-native sort-shuffle bucketed join.
 
 Ray's own ``Dataset.join`` / hash-shuffle machinery deadlocks local
-sessions below ~32 CPUs in this Ray version (pinned by
-tests/test_upstream_shuffle.py), so the engine provides the join shape the
+sessions NONDETERMINISTICALLY in this Ray version: 2 CPUs hang every
+time (pinned by tests/test_upstream_shuffle.py); 4-16 CPUs were observed
+hanging in rounds 1-2 and completing in round 3 under identical configs
+(load-dependent — `tools/probe_hash_shuffle.py`).  An intermittent
+deadlock is not shippable, so the engine provides the join shape the
 instructions call "bucket by key hash when you must co-locate":
 
 1. both sides are padded to one unified schema, tagged with their side, and

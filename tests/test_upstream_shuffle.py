@@ -1,10 +1,15 @@
 """Pinned documentation of the Ray hash-shuffle hang (VERDICT r1 item 9).
 
 ``groupby().map_groups`` under ``ShuffleStrategy.HASH_SHUFFLE`` deadlocks in
-this Ray version (2.49) on local sessions below ~32 CPUs — the shuffle
-aggregator actors and map tasks starve each other.  Probed 2026-08-17:
-hangs at num_cpus=2 and 16 even on 100k rows; completes at num_cpus=32.
-``tools/probe_hash_shuffle.py`` re-probes interactively.
+this Ray version (2.49) on local sessions — the shuffle aggregator actors
+and map tasks starve each other.  The hang is NONDETERMINISTIC above
+2 CPUs: the r1/r2 probes saw num_cpus=16 hang on 100k rows, while the r3
+re-probe saw 4 and 16 complete repeatedly under identical configs
+(load-dependent scheduling race).  num_cpus=2 hangs every time — that is
+what this pin runs.  An intermittent deadlock is equally disqualifying
+for production, so the workaround stays until the RACE is fixed, not
+until one probe happens to pass; ``tools/probe_hash_shuffle.py``
+re-probes interactively.
 
 Because of this, every rayhll co-location groupby stays on the default sort
 shuffle, and the equi-join in rayhll.pipelines.dedup uses the bucketed

@@ -770,3 +770,16 @@ def test_new_operators_handle_empty_inputs(ray_session):
     )
     cu = curate_documents(rd.from_arrow(empty_docs)).to_pandas()
     assert len(cu) == 0
+
+
+def test_broadcast_join_dataset_small_side(ray_session):
+    """The small side may be a Dataset — collected once via to_arrow_refs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions.join import broadcast_join
+
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]}))
+    small_ds = rd.from_arrow(pa.table({"k": [2, 3, 4], "w": [20, 30, 40]})).repartition(2)
+    out = broadcast_join(left, small_ds, on="k", how="inner").to_pandas()
+    assert sorted(out.k) == [2, 3] and sorted(out.w) == [20, 30]

@@ -400,7 +400,9 @@ def decode_image(data: bytes) -> np.ndarray:
     if kind == "png":
         img = decode_png(data)
         if img.ndim == 2:
-            img = np.repeat(img[:, :, None], 3, axis=2)
+            return np.repeat(img[:, :, None], 3, axis=2)
+        if img.shape[2] == 2:  # gray+alpha: broadcast gray, drop alpha
+            return np.repeat(img[:, :, :1], 3, axis=2)
         return img[:, :, :3]
     if kind == "pnm":
         img = decode_ppm(data)

@@ -419,3 +419,23 @@ def test_png_crc_and_truncation_detected():
     # cut into the IDAT chunk body (IEND is the trailing 12 bytes)
     with pytest.raises(ValueError, match="truncated|missing"):
         codecs.decode_png(good[:-20])
+
+
+def test_png_gray_alpha_decode():
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(8)
+    ga = rng.integers(0, 256, size=(5, 6, 2), dtype=np.uint8)
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(5))
+    data = (
+        codecs._PNG_SIG
+        + codecs._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 4, 0, 0, 0))
+        + codecs._png_chunk(b"IDAT", zlib.compress(raw))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(codecs.decode_png(data), ga)
+    # decode_image broadcasts gray and drops alpha -> (h, w, 3) of the gray
+    img = codecs.decode_image(data)
+    assert img.shape == (5, 6, 3)
+    np.testing.assert_array_equal(img[:, :, 0], ga[:, :, 0])

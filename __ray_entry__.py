@@ -478,8 +478,9 @@ def _q_fraction_sample_split_documents(sf_dir: str):
     # documents table); at scale the same invariants are per-batch filters
     disjoint = len(set(s30.doc_id) & set(c30.doc_id)) == 0
     coordinated = set(s10.doc_id) <= set(s30.doc_id)
-    n_s = s30.groupby("lang").size()
-    n_c = c30.groupby("lang").size()
+    # dropna=False matches SQL GROUP BY (a NULL lang forms its own group)
+    n_s = s30.groupby("lang", dropna=False).size()
+    n_c = c30.groupby("lang", dropna=False).size()
     total = n_s.add(n_c, fill_value=0).astype(int).sort_index()
     return pa.table(
         {

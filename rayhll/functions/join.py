@@ -243,6 +243,24 @@ def broadcast_join(
     for k in on:
         if k not in left_schema.names or k not in small_tbl.column_names:
             raise ValueError(f"join key {k!r} missing from a side")
+    # Unify key dtypes up front (bucket_equi_join casts both sides to one
+    # schema; here the large side streams untouched, so cast the small side
+    # to the left schema's key types) — otherwise an int32-vs-int64 mismatch
+    # surfaces as an opaque polars SchemaError inside distributed map tasks.
+    for k in on:
+        lt = left_schema.types[left_schema.names.index(k)]
+        st = small_tbl.schema.field(k).type
+        if st != lt:
+            try:
+                idx = small_tbl.column_names.index(k)
+                small_tbl = small_tbl.set_column(
+                    idx, pa.field(k, lt), small_tbl.column(k).cast(lt)
+                )
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+                raise ValueError(
+                    f"broadcast_join key {k!r} dtype mismatch: left is {lt}, "
+                    f"small side is {st} and cannot be cast losslessly ({e})"
+                ) from None
     rename = {}
     for name in small_tbl.column_names:
         if name in on:
@@ -365,14 +383,20 @@ def range_join(
         out = pa.table(cols)
         if bin_width is not None:
             if is_right:
+                # Drop rows with null lo/hi BEFORE to_numpy: a null bound can
+                # never satisfy `on >= lo AND on <= hi`, and converting a
+                # nullable int column yields float64 (NaN-filled), which
+                # mis-bins values >= 2^53 (same class as the asof_join fix).
+                valid_arr = pc.and_(
+                    pc.is_valid(out.column(lo_dst)), pc.is_valid(out.column(hi_dst))
+                )
+                out = out.filter(valid_arr)
                 lo_np = out.column(lo_dst).combine_chunks().to_numpy(zero_copy_only=False)
                 hi_np = out.column(hi_dst).combine_chunks().to_numpy(zero_copy_only=False)
-                valid = ~(pc.is_null(out.column(lo_dst)).to_numpy(zero_copy_only=False)
-                          | pc.is_null(out.column(hi_dst)).to_numpy(zero_copy_only=False))
                 b0 = _floor_bins(lo_np, bin_width)
                 b1 = _floor_bins(hi_np, bin_width)
-                counts = np.where(valid, np.maximum(b1 - b0 + 1, 0), 0)
-                n_valid = int(valid.sum())
+                counts = np.maximum(b1 - b0 + 1, 0)
+                n_valid = len(out)
                 if n_valid and counts.sum() > max_replication * n_valid:
                     raise ValueError(
                         f"range_join bin_width={bin_width} replicates intervals "

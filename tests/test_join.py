@@ -733,6 +733,86 @@ def test_asof_join_salted_huge_int_keys_with_nulls(ray_session):
     pd.testing.assert_frame_equal(salted, base_df, check_dtype=False)
 
 
+def test_broadcast_join_casts_mismatched_key_dtypes(ray_session):
+    """An int32 left key vs int64 small-side key joins correctly (small side
+    cast up front) instead of failing with a polars SchemaError inside map
+    tasks; an uncastable mismatch raises a clear ValueError on the driver."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions.join import broadcast_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4], type=pa.int32()),
+                "v": pa.array([10, 20, 30, 40], type=pa.int64()),
+            }
+        )
+    )
+    small = pa.table(
+        {
+            "k": pa.array([2, 4], type=pa.int64()),
+            "name": pa.array(["b", "d"]),
+        }
+    )
+    out = (
+        broadcast_join(left, small, on="k")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out["k"]) == [2, 4]
+    assert list(out["name"]) == ["b", "d"]
+
+    bad = pa.table({"k": pa.array(["x"]), "name": pa.array(["?"])})
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        broadcast_join(left, bad, on="k")
+
+
+def test_range_join_salted_huge_int_bounds_with_nulls(ray_session):
+    """int64 lo/hi bounds >= 2^53 bin exactly even when the bound columns
+    also hold nulls (a float64 round-trip would mis-bin them and drop
+    matches).  Mirrors test_asof_join_salted_huge_int_keys_with_nulls."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions.join import range_join
+
+    base = np.int64(1 << 60)
+    lpos = [int(base + i * 37 + 1) for i in range(400)] + [None] * 3
+    rlo = [int(base + i * 151) for i in range(100)] + [None, int(base)]
+    rhi = [int(base + i * 151 + 97) for i in range(100)] + [int(base + 50), None]
+    left = pa.table(
+        {
+            "k": pa.array(["h"] * 403),
+            "pos": pa.array(lpos, type=pa.int64()),
+            "lid": pa.array(np.arange(403, dtype=np.int64)),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(["h"] * 102),
+            "lo": pa.array(rlo, type=pa.int64()),
+            "hi": pa.array(rhi, type=pa.int64()),
+            "rv": pa.array(np.arange(102, dtype=np.int64)),
+        }
+    )
+    kw = dict(by="k", on="pos", lo="lo", hi="hi")
+    base_df = (
+        range_join(rd.from_arrow(left), rd.from_arrow(right), **kw)
+        .to_pandas().sort_values(["lid", "rv"]).reset_index(drop=True)
+    )
+    salted = (
+        range_join(rd.from_arrow(left), rd.from_arrow(right), bin_width=128, **kw)
+        .to_pandas().sort_values(["lid", "rv"]).reset_index(drop=True)
+    )
+    assert len(base_df) > 100  # plenty of real matches
+    pd.testing.assert_frame_equal(salted, base_df, check_dtype=False)
+
+
 def test_new_operators_handle_empty_inputs(ray_session):
     """Empty sides flow through broadcast/salted joins and curation without
     errors and with correct (empty or left-preserving) results."""

@@ -20,11 +20,16 @@ derived rows, never over document payloads):
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from rayhll.functions.hashing import hash64_table, splitmix64
+
+logger = logging.getLogger(__name__)
 from rayhll.pipelines.text import TOKEN_PATTERN
 from rayhll.sketches.minhash import band_hashes, signatures_for_offsets
 
@@ -202,7 +207,10 @@ def _segment_bounds(sorted_keys: np.ndarray) -> np.ndarray:
 #: (id + truncated signature slots) ≈ 600 MiB working set per task worst
 #: case, comfortably inside a worker heap; on a cluster, more buckets only
 #: add (cheap) sort keys, while too few buckets OOM the reduce tasks.
-from rayhll.functions.partitioning import TARGET_ROWS_PER_TASK  # noqa: E402 - canonical value
+from rayhll.functions.partitioning import (  # noqa: E402 - canonical values
+    TARGET_ROWS_PER_TASK,
+    buckets_for_rows,
+)
 
 
 def _resolve_num_buckets(ds, num_buckets, rows_per_doc: int) -> int:
@@ -493,6 +501,82 @@ def build_minhash_sig_store(
     )
 
 
+#: max distinct candidate-pair member ids the verify-join prefilter will
+#: broadcast (int64 ids: ~256 MiB at this value).  Above it the prefilter
+#: is skipped — the bucketed join stays exact, it just pays the full
+#: payload-side shuffle; a candidate set that dense means near-everything
+#: is a dup and semi-filtering would not shrink the payload anyway.
+PREFILTER_MAX_IDS = 32_000_000
+
+
+def _prefilter_payload_by_candidates(cand, payload, id_col: str, max_ids: int | None = None):
+    """Semi-filter the corpus-scale payload side of a pair-verify join down
+    to candidate-pair members BEFORE the bucketed equi-join.
+
+    The signature/vector/shingle side of the verify join is one row per
+    corpus document while the candidate-pair side is sparse (LSH contract) —
+    without this, the join shuffles the whole corpus a second time (~2×
+    exchange bytes at 100 TB).  Collects the distinct pair-member ids from
+    the MATERIALIZED ``cand`` (one pass over compact id pairs), broadcasts
+    them ONCE via ``ray.put``, and filters ``payload`` per batch with a
+    vectorized ``pyarrow.compute.is_in`` — the ``bloom_semijoin`` pattern
+    with an exact id set (zero false positives, so downstream results are
+    byte-identical to the unfiltered join; pinned by tests).
+
+    Returns ``(prefiltered_payload, n_member_ids | None)`` — ``None`` means
+    the id set exceeded ``max_ids`` (module-level :data:`PREFILTER_MAX_IDS`
+    when ``None``) and the payload passes through unfiltered (correctness
+    unaffected)."""
+    import ray
+
+    if max_ids is None:
+        max_ids = PREFILTER_MAX_IDS
+
+    id_type = dict(zip(cand.schema().names, cand.schema().types))["id_a"]
+
+    def block_ids(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [t.column("id_a").combine_chunks(), t.column("id_b").combine_chunks()]
+        )
+        return pa.table({"cid": pc.unique(both).cast(id_type)})
+
+    parts = ray.get(cand.map_batches(block_ids, batch_format="pyarrow").to_arrow_refs())
+    # empty input blocks pass through map_batches with the INPUT schema
+    chunks = [
+        c for t in parts if "cid" in t.column_names for c in t.column("cid").chunks
+    ]
+    if sum(len(c) for c in chunks) > max_ids:
+        # per-block distinct already exceeds the cap pre-union: skip early
+        logger.warning(
+            "pair-verify prefilter skipped: >%d candidate member ids; "
+            "the payload side of the verify join shuffles unfiltered",
+            max_ids,
+        )
+        return payload, None
+    ids = (
+        pc.unique(pa.concat_arrays(chunks))
+        if chunks
+        else pa.array([], type=id_type)
+    )
+    if len(ids) > max_ids:
+        logger.warning(
+            "pair-verify prefilter skipped: %d candidate member ids > max_ids=%d",
+            len(ids),
+            max_ids,
+        )
+        return payload, None
+    ids_ref = ray.put(ids)
+
+    def semifilter(batch: pa.Table) -> pa.Table:
+        value_set = ray.get(ids_ref)  # per-worker deserialization cache
+        return batch.filter(pc.is_in(batch.column(id_col), value_set=value_set))
+
+    return (
+        payload.map_batches(semifilter, batch_format="pyarrow", zero_copy_batch=True),
+        len(ids),
+    )
+
+
 def _bucket_join_sig(pairs, sigs, id_col: str, key_col: str, out_sig_col: str, num_buckets: int = 64):
     """Attach ``sigs``' signature to each pair row matching on
     ``pairs[key_col] == sigs[id_col]`` — a sort-shuffle bucketed equi-join:
@@ -623,8 +707,18 @@ def _minhash_lsh_pairs_join(
     # version, so this uses a self-contained bucketed tag-union join: union
     # the (padded-schema) pair and signature rows, groupby a key bucket, and
     # join within each bucket with polars.  Two passes, one per pair side.
-    joined = _bucket_join_sig(cand, sigs, id_col, "id_a", "sig_a")
-    joined = _bucket_join_sig(joined, sigs, id_col, "id_b", "sig_b")
+    # The sigs side is semi-filtered to candidate members first so the
+    # verify join never re-shuffles the full corpus (pairs are sparse).
+    cand = cand.materialize()
+    sigs, n_members = _prefilter_payload_by_candidates(cand, sigs, id_col)
+    if n_members is not None:
+        # both join sides are now candidate-bounded: size the fanout from
+        # the known pair count, not the corpus-sized resolver value
+        join_buckets = buckets_for_rows(2 * cand.count() + n_members)
+    else:
+        join_buckets = num_buckets
+    joined = _bucket_join_sig(cand, sigs, id_col, "id_a", "sig_a", num_buckets=join_buckets)
+    joined = _bucket_join_sig(joined, sigs, id_col, "id_b", "sig_b", num_buckets=join_buckets)
 
     def verify(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -698,13 +792,23 @@ def _embedding_near_dup_pairs_join(
         .drop_columns(["pbkt"])
     )
 
+    # semi-filter the corpus-scale vector side to candidate members before
+    # the per-pair verify joins (pairs are sparse; see the prefilter helper)
+    cand = cand.materialize()
+    vecs, n_members = _prefilter_payload_by_candidates(cand, vecs, id_col)
+    join_buckets = (
+        buckets_for_rows(2 * cand.count() + n_members)
+        if n_members is not None
+        else num_buckets
+    )
+
     def renamed(dst):
         return vecs.map_batches(
             lambda t, d=dst: t.rename_columns([d, f"vec_{d}"]), batch_format="pyarrow"
         )
 
-    joined = bucket_equi_join(cand, renamed("id_a"), on="id_a", how="inner")
-    joined = bucket_equi_join(joined, renamed("id_b"), on="id_b", how="inner")
+    joined = bucket_equi_join(cand, renamed("id_a"), on="id_a", how="inner", num_buckets=join_buckets)
+    joined = bucket_equi_join(joined, renamed("id_b"), on="id_b", how="inner", num_buckets=join_buckets)
 
     def verify(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -839,7 +943,14 @@ def ngram_jaccard_pairs(
         max_bucket_size=max_bucket_size,
         num_buckets=num_buckets,
     ).drop_columns(["jaccard"])
-    shingles = ds.map_batches(
+    # semi-filter the corpus to candidate-pair members BEFORE shingling
+    # (pairs are sparse): non-candidate docs skip both the shingle compute
+    # and the verify-join shuffle
+    cand = cand.materialize()
+    ds_members, n_members = _prefilter_payload_by_candidates(cand, ds, id_col)
+    join_buckets = buckets_for_rows(2 * cand.count() + n_members) if n_members is not None else None
+
+    shingles = ds_members.map_batches(
         ShingleSetStage(text_col, id_col, gram),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -851,8 +962,8 @@ def ngram_jaccard_pairs(
             batch_format="pyarrow",
         )
 
-    joined = bucket_equi_join(cand, renamed("id_a"), on="id_a", how="inner")
-    joined = bucket_equi_join(joined, renamed("id_b"), on="id_b", how="inner")
+    joined = bucket_equi_join(cand, renamed("id_a"), on="id_a", how="inner", num_buckets=join_buckets)
+    joined = bucket_equi_join(joined, renamed("id_b"), on="id_b", how="inner", num_buckets=join_buckets)
 
     def verify(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:

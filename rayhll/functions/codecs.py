@@ -386,14 +386,16 @@ def sniff_media(data: bytes) -> str | None:
         return "pnm"
     if data[: len(_PNG_SIG)] == _PNG_SIG:
         return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     return None
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode BMP, PPM/PGM or PNG to ``(h, w, 3)`` RGB (gray broadcast,
-    alpha dropped)."""
+    """Decode BMP, PPM/PGM, PNG or baseline JPEG to ``(h, w, 3)`` RGB
+    (gray broadcast, alpha dropped)."""
     kind = sniff_media(data)
     if kind == "bmp":
         return decode_bmp(data)
@@ -404,13 +406,20 @@ def decode_image(data: bytes) -> np.ndarray:
         if img.shape[2] == 2:  # gray+alpha: broadcast gray, drop alpha
             return np.repeat(img[:, :, :1], 3, axis=2)
         return img[:, :, :3]
+    if kind == "jpeg":
+        from rayhll.functions.jpeg import decode_jpeg
+
+        img = decode_jpeg(data)
+        if img.ndim == 2:
+            return np.repeat(img[:, :, None], 3, axis=2)
+        return img
     if kind == "pnm":
         img = decode_ppm(data)
         if img.ndim == 2:
             img = np.repeat(img[:, :, None], 3, axis=2)
         return img
     raise ValueError(
-        "unrecognized image container (expected BMP, binary netpbm, or PNG)"
+        "unrecognized image container (expected BMP, binary netpbm, PNG, or JPEG)"
     )
 
 

@@ -1,0 +1,605 @@
+"""Baseline JPEG (ITU-T T.81) codec in pure numpy + stdlib.
+
+Closes the multimodal pipeline's one remaining decode gap (compressed
+images) without codec libraries: real corpora are mostly JPEG, so
+``decode_image`` must at least read baseline files.  Scope:
+
+* **decode**: baseline sequential DCT (SOF0) and extended sequential
+  (SOF1), 8-bit samples, Huffman entropy coding, grayscale or YCbCr with
+  arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 / ...), restart
+  intervals (DRI/RSTn), interleaved single-scan files (the overwhelmingly
+  common baseline shape).  Progressive (SOF2), arithmetic coding, 12-bit,
+  hierarchical and multi-scan baseline raise ``ValueError`` with the mode
+  named.
+* **encode**: baseline 4:4:4 or 4:2:0 YCbCr / grayscale with the Annex K
+  example quantization + Huffman tables and libjpeg-compatible quality
+  scaling — used to synthesize test/benchmark payloads in this
+  codec-less environment (and usable as a real writer).
+
+Performance note (honest): DCT/quantization/color transforms are
+vectorized numpy over all blocks at once, but the entropy layer is an
+inherently sequential bit-serial Huffman loop per coefficient, in Python.
+That is fine for the test/synthesis path; a 100-TB image corpus should
+swap a codec library at the documented ``decode_image`` call site
+(pipelines/multimodal.py) — the Ray-side plumbing is identical.
+
+All tables/constants below are published in ITU-T T.81 Annex K.
+reference: none (builder-brief requirement beyond the AdRoll/python-hll
+surface; no counterpart module in /root/reference).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# spec constants (ITU-T T.81 Annex K)
+
+#: raster index of the i-th coefficient in zigzag order
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+_UNZIGZAG = np.argsort(ZIGZAG)
+
+STD_QUANT_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+STD_QUANT_CHROM = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# (BITS[1..16], HUFFVAL) per standard table
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# orthonormal 8x8 DCT-II matrix: F = C @ f @ C.T, f = C.T @ F @ C
+_k = np.arange(8, dtype=np.float64)
+_DCT = np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16) * 0.5
+_DCT[0, :] = np.sqrt(1.0 / 8.0)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """(length, code) assignments for a canonical Huffman table."""
+    out = []
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((length, code, vals[i]))
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg-compatible quality scaling of the Annex K example tables."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (STD_QUANT_LUM, STD_QUANT_CHROM):
+        q = (base * scale + 50) // 100
+        out.append(np.clip(q, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+# ---------------------------------------------------------------------------
+# encoder
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def byte_align(self) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _mag_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_blocks(
+    writer: _BitWriter,
+    mcu_blocks: list[tuple[int, np.ndarray]],
+    dc_codes: list[dict],
+    ac_codes: list[dict],
+    preds: list[int],
+) -> None:
+    """Entropy-encode one MCU's blocks (each ``(comp_idx, zigzag int64[64])``)."""
+    for ci, zz in mcu_blocks:
+        dct, act = dc_codes[ci], ac_codes[ci]
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        s = _mag_category(diff)
+        length, code = dct[s]
+        writer.write(code, length)
+        if s:
+            writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        nz = np.flatnonzero(zz[1:])
+        last = int(nz[-1]) + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = act[0xF0]  # ZRL
+                writer.write(code, length)
+                run -= 16
+            s = _mag_category(v)
+            length, code = act[(run << 4) | s]
+            writer.write(code, length)
+            writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            length, code = act[0x00]  # EOB
+            writer.write(code, length)
+
+
+def _plane_to_zigzag_blocks(plane: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """(by, bx, 64) quantized zigzag coefficients for an 8-aligned plane."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).astype(np.float64)
+        - 128.0
+    )
+    coef = np.einsum("ij,abjk,lk->abil", _DCT, blocks, _DCT)
+    q = np.round(coef.reshape(h // 8, w // 8, 64) / qtable).astype(np.int64)
+    return q[:, :, ZIGZAG]
+
+
+def _pad_edge(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % mult_y
+    pw = (-w) % mult_x
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode ``(h, w, 3)`` RGB or ``(h, w)`` grayscale uint8 as baseline
+    JPEG (4:4:4, or 4:2:0 with ``subsample=True``)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("expected uint8 (h, w) or (h, w, 3)")
+    gray = img.ndim == 2
+    if not gray and img.shape[2] != 3:
+        raise ValueError("expected 3 channels")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qlum, qchrom = _quality_tables(quality)
+
+    if gray:
+        factors = [(1, 1)]
+        planes = [_pad_edge(img, 8, 8)]
+        qsel = [0]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128.0
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128.0
+        if subsample:
+            factors = [(2, 2), (1, 1), (1, 1)]
+            yp = _pad_edge(np.round(y), 16, 16)
+            chroma = []
+            for c in (cb, cr):
+                cpad = _pad_edge(c, 16, 16)
+                ch2, cw2 = cpad.shape
+                sub = cpad.reshape(ch2 // 2, 2, cw2 // 2, 2).mean(axis=(1, 3))
+                chroma.append(np.round(sub))
+            planes = [yp, chroma[0], chroma[1]]
+        else:
+            factors = [(1, 1), (1, 1), (1, 1)]
+            planes = [_pad_edge(np.round(p), 8, 8) for p in (y, cb, cr)]
+        planes = [np.clip(p, 0, 255) for p in planes]
+        qsel = [0, 1, 1]
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    qtabs = [qlum, qchrom]
+    comp_blocks = [
+        _plane_to_zigzag_blocks(p, qtabs[qsel[i]]) for i, p in enumerate(planes)
+    ]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # Huffman code dicts: symbol -> (length, code)
+    def codes(tbl):
+        return {v: (l, c) for l, c, v in _canonical_codes(*tbl)}
+
+    dc_codes = [codes(_DC_LUM)] + [codes(_DC_CHROM)] * (len(planes) - 1)
+    ac_codes = [codes(_AC_LUM)] + [codes(_AC_CHROM)] * (len(planes) - 1)
+
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    rst = 0
+    n_mcu = 0
+    entropy_parts: list[bytes] = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                writer.byte_align()
+                entropy_parts.append(bytes(writer.out))
+                entropy_parts.append(bytes([0xFF, 0xD0 + rst]))
+                writer = _BitWriter()
+                rst = (rst + 1) & 7
+                preds = [0] * len(planes)
+            mcu = []
+            for ci, (hc, vc) in enumerate(factors):
+                for by in range(vc):
+                    for bx in range(hc):
+                        mcu.append((ci, comp_blocks[ci][my * vc + by, mx * hc + bx]))
+            _encode_blocks(writer, mcu, dc_codes, ac_codes, preds)
+            n_mcu += 1
+    writer.byte_align()
+    entropy_parts.append(bytes(writer.out))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in enumerate(qtabs[: 1 if gray else 2]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(q[ZIGZAG].tolist())
+    nf = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
+    for i, (hc, vc) in enumerate(factors):
+        out += struct.pack(">BBB", i + 1, (hc << 4) | vc, qsel[i])
+    huff_tabs = [(0, 0, _DC_LUM), (1, 0, _AC_LUM)]
+    if not gray:
+        huff_tabs += [(0, 1, _DC_CHROM), (1, 1, _AC_CHROM)]
+    for tc, th, (bits, vals) in huff_tabs:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | th)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nf, nf)
+    for i in range(nf):
+        td_ta = 0 if i == 0 else 0x11
+        out += struct.pack(">BB", i + 1, td_ta)
+    out += b"\x00\x3f\x00"
+    for part in entropy_parts:
+        out += part
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+
+
+class _BitReader:
+    """MSB-first bit reader over a stuffing-stripped entropy segment."""
+
+    __slots__ = ("buf", "pos", "acc", "nbits", "overrun")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+        self.overrun = 0
+
+    def readbits(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.buf):
+                # the final byte may legitimately be 1-padded, but reading
+                # beyond that means a truncated stream, not padding
+                self.overrun += 1
+                if self.overrun > 2:
+                    raise ValueError("truncated JPEG entropy stream")
+                self.acc = (self.acc << 8) | 0xFF
+            else:
+                self.acc = (self.acc << 8) | self.buf[self.pos]
+                self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
+    return {(l, c): v for l, c, v in _canonical_codes(bits, vals)}
+
+
+def _read_huff(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.readbits(1)
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG Huffman code (corrupt entropy data)")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode baseline JPEG bytes to uint8 ``(h, w, 3)`` RGB or ``(h, w)``
+    grayscale.  See the module docstring for the supported envelope."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
+    frame = None  # (h, w, [(comp_id, hc, vc, tq)])
+    scan = None  # ([(comp_idx, td, ta)], entropy_start)
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1  # legal fill bytes between markers
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue  # standalone markers
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                off += 1
+                if pq == 0:
+                    q = np.frombuffer(body, np.uint8, 64, off).astype(np.int64)
+                    off += 64
+                elif pq == 1:
+                    q = np.frombuffer(body, ">u2", 64, off).astype(np.int64)
+                    off += 128
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
+                raster = np.empty(64, dtype=np.int64)
+                raster[ZIGZAG] = q
+                qtables[tq] = raster
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            prec, fh, fw, nf = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"{prec}-bit JPEG not supported (8-bit only)")
+            comps = []
+            for i in range(nf):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 3 + 3 * i + 3)
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            kind = {0xC2: "progressive", 0xC3: "lossless"}.get(marker, "non-baseline")
+            raise ValueError(f"{kind} JPEG (SOF{marker - 0xC0}) not supported; baseline only")
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nv])
+                htables[(tc, th)] = _build_decode_table(bits, vals)
+                off += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            if ns != len(frame[2]):
+                raise ValueError(
+                    "multi-scan baseline JPEG (non-interleaved) not supported"
+                )
+            scomps = []
+            cids = [c[0] for c in frame[2]]
+            for i in range(ns):
+                cid, tdta = struct.unpack_from(">BB", body, 1 + 2 * i)
+                scomps.append((cids.index(cid), tdta >> 4, tdta & 0xF))
+            scan = (scomps, pos)
+            break
+        # else: APPn / COM / unknown — skipped via seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    fh, fw, comps = frame
+    scomps, epos = scan
+    if len(comps) == 1:
+        # single-component frames are decoded as if 1x1-sampled regardless
+        # of declared factors (libjpeg convention)
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+
+    # split the entropy stream into restart segments, stripping stuffed 0x00
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = epos
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        m = data[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or any other marker ends the scan
+            break
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    coeffs = [
+        np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int64) for c in comps
+    ]
+    for _, hc, vc, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"JPEG quantization table {tq} missing")
+    dc_tabs, ac_tabs = [], []
+    for ci, td, ta in scomps:
+        if (0, td) not in htables or (1, ta) not in htables:
+            raise ValueError("JPEG Huffman table missing")
+        dc_tabs.append(htables[(0, td)])
+        ac_tabs.append(htables[(1, ta)])
+
+    seg_iter = iter(segments)
+    reader = _BitReader(next(seg_iter))
+    preds = [0] * len(comps)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                nxt = next(seg_iter, None)
+                if nxt is None:
+                    raise ValueError("JPEG truncated at restart boundary")
+                reader = _BitReader(nxt)
+                preds = [0] * len(comps)
+            for si, (ci, _, _) in enumerate(scomps):
+                _, hc, vc, _ = comps[ci]
+                for by in range(vc):
+                    for bx in range(hc):
+                        zz = coeffs[ci][my * vc + by, mx * hc + bx]
+                        s = _read_huff(reader, dc_tabs[si])
+                        diff = _extend(reader.readbits(s), s) if s else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_huff(reader, ac_tabs[si])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC coefficient overrun")
+                            zz[k] = _extend(reader.readbits(s), s)
+                            k += 1
+            n_mcu += 1
+
+    # vectorized dequant + de-zigzag + IDCT per component
+    planes = []
+    for ci, (_, hc, vc, tq) in enumerate(comps):
+        q = coeffs[ci] * qtables[tq][ZIGZAG][None, None, :]
+        raster = q[:, :, _UNZIGZAG].reshape(q.shape[0], q.shape[1], 8, 8)
+        pix = np.einsum("ji,abjk,kl->abil", _DCT, raster.astype(np.float64), _DCT)
+        by, bx = pix.shape[:2]
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        fy, fx = vmax // vc, hmax // hc
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
+        planes.append(plane[:fh, :fw])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    if len(planes) != 3:
+        raise ValueError(f"{len(planes)}-component JPEG not supported (1 or 3)")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    out = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

@@ -3,18 +3,19 @@
 Images / audio / video are opaque ``binary`` columns with typed metadata
 columns alongside.  Three decoder modes:
 
-* ``decoder="numpy"`` (default) — REAL decoding of uncompressed formats in
-  pure numpy via :mod:`rayhll.functions.codecs`: BMP / binary PPM-PGM
-  images, RIFF PCM WAV audio, and concatenated-RGB24 raw video.  Decode,
-  feature-extract, nearest-neighbor resize and frame sampling all operate
-  on actual pixels/samples.
+* ``decoder="numpy"`` (default) — REAL decoding in pure numpy/stdlib via
+  :mod:`rayhll.functions.codecs` and :mod:`rayhll.functions.jpeg`: BMP /
+  binary PPM-PGM / PNG / baseline-JPEG images, RIFF PCM WAV audio, and
+  concatenated-RGB24 raw video.  Decode, feature-extract, nearest-neighbor
+  resize and frame sampling all operate on actual pixels/samples.
 * ``decoder="fake"`` — deterministic features derived from the payload
   sha256; exercises the full data path for arbitrary (even compressed)
   payloads without codec libraries.
 * ``decoder="real"`` — raises ``NotImplementedError`` at the exact call
   site where a codec library (Pillow / libsndfile / pyav) would handle
-  compressed formats (JPEG/FLAC/H.264); those libraries are not in this
-  container.  Swap the marked function and everything else stands.
+  the remaining compressed formats (WebP/progressive-JPEG/FLAC/H.264);
+  those libraries are not in this container.  Swap the marked function
+  and everything else stands.
 
 Batch sizing note (memory-aware): payload rows are wide, so these stages
 default to ``batch_size=256`` and actor pools; at 100 TB keep
@@ -49,14 +50,15 @@ RECOMMENDED_BATCH_SIZE = 256
 
 def _real_decode_stub(media_type: str) -> None:
     # Compressed-format swap point: a deployment with codec libraries
-    # (Pillow for JPEG/WebP, soundfile for FLAC/MP3, pyav for video)
-    # decodes here.  BMP/PPM/WAV/rawvideo AND PNG (stdlib zlib) are
-    # handled for real by decoder="numpy".
+    # (Pillow for WebP/progressive JPEG, soundfile for FLAC/MP3, pyav for
+    # video) decodes here.  BMP/PPM/WAV/rawvideo, PNG (stdlib zlib) AND
+    # baseline JPEG (functions/jpeg.py) are handled for real by
+    # decoder="numpy".
     raise NotImplementedError(
-        f"real {media_type} decoding of JPEG/WebP/FLAC/MP3-class formats "
+        f"real {media_type} decoding of WebP/FLAC/MP3/H.264-class formats "
         "requires a codec library not present in this environment; use "
-        "decoder='numpy' for BMP/PPM/PNG/WAV/rawvideo or decoder='fake' "
-        "for the digest-feature path"
+        "decoder='numpy' for BMP/PPM/PNG/baseline-JPEG/WAV/rawvideo or "
+        "decoder='fake' for the digest-feature path"
     )
 
 
@@ -298,15 +300,23 @@ def synth_asset_table(n: int, seed: int = 7) -> pa.Table:
 
 def synth_media_table(n: int, seed: int = 7) -> pa.Table:
     """Deterministic asset table of REAL decodable payloads for the
-    ``numpy`` decoder path: BMP/PPM/PNG images (rotating, so the oracle
-    gate exercises all three containers incl. the zlib inflate + unfilter
-    path), 16-bit PCM WAVs, raw-RGB24 video.  Dim/rate metadata columns
+    ``numpy`` decoder path: BMP/PPM/PNG/JPEG images (rotating, so the
+    oracle gate exercises all four containers incl. the zlib inflate +
+    unfilter path and the baseline-JPEG Huffman/IDCT path), 16-bit PCM
+    WAVs, raw-RGB24 video.  Dim/rate metadata columns
     intentionally hold -1 sentinels except video dims (which raw RGB24
     genuinely needs) — DecodeStage must recover the true values from the
     payloads."""
     rng = np.random.default_rng(seed)
     ids, media, payloads, ws, hs, rates, durs = [], [], [], [], [], [], []
-    img_encoders = (codecs.encode_bmp, codecs.encode_ppm, codecs.encode_png)
+    from rayhll.functions.jpeg import encode_jpeg
+
+    img_encoders = (
+        codecs.encode_bmp,
+        codecs.encode_ppm,
+        codecs.encode_png,
+        encode_jpeg,
+    )
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         ids.append(i)
@@ -314,7 +324,7 @@ def synth_media_table(n: int, seed: int = 7) -> pa.Table:
         if kind == "image":
             w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payloads.append(img_encoders[(i // 3) % 3](img))
+            payloads.append(img_encoders[(i // 3) % len(img_encoders)](img))
             ws.append(-1); hs.append(-1); rates.append(-1); durs.append(-1)
         elif kind == "audio":
             rate = 8000

@@ -9,10 +9,11 @@ late or re-delivered events are harmless and no watermark is needed — the
 window close is simply whenever the aggregation runs.
 
 * tumbling windows: one (window_start) key per event;
-* sliding windows: each event explodes into ``size/step`` overlapping
-  windows (the standard explode encoding; fan-out factor is the window
-  overlap count, applied before the sketch pre-aggregation so the shuffle
-  still only carries sketch rows);
+* sliding windows: merge-of-tumbling — each event is sketched ONCE into
+  its ``step``-sized tumbling window; the per-step sketch rows (~1.3 KiB)
+  are then replicated into the ``size/step`` overlapping windows they
+  serve and union-merged per window, so neither build CPU nor shuffle
+  volume scales with the overlap factor;
 * session windows: per-key gap-based sessionization inside
   ``groupby(key).map_groups`` over ts-sorted events.
 """
@@ -68,27 +69,63 @@ def sliding_window_distinct(
 ):
     """Distinct ``key_cols`` per sliding window (``size``, advancing by
     ``step``).  An event at time t belongs to windows starting at
-    ``floor((t - k*step)/step)*step`` for k in [0, size/step)."""
+    ``floor((t - k*step)/step)*step`` for k in [0, size/step).
+
+    Merge-of-tumbling encoding: each event is sketched ONCE into its
+    ``step``-sized tumbling window, then each per-step merged sketch row
+    (~1.3 KiB) is replicated into the ``size/step`` sliding windows it
+    serves and those are union-merged per window.  Sketch build CPU is
+    therefore 1x regardless of the overlap factor (the pre-r4 shape
+    exploded every EVENT ``size/step``x before the build); correctness is
+    the engine's cornerstone invariant that a union over any partition of
+    a window's events yields the same sketch.  The replicate+merge stage
+    touches only per-step sketch rows — #steps, not #events — so its fixed
+    reduce fanout is combiner-bounded by construction."""
     if size_us % step_us:
         raise ValueError("size_us must be a multiple of step_us")
     fanout = size_us // step_us
+    from rayhll.functions import hashing
+    from rayhll.stages.build import (
+        BUCKET_COL,
+        DEFAULT_NUM_BUCKETS,
+        GHASH_COL,
+        GROUP_HASH_SEED,
+        ROWS_COL,
+        SKETCH_COL,
+        make_bucket_merger,
+    )
 
     def assign(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        parts = []
-        for k in range(fanout):
-            base = _window_start_us(batch.column(ts_col), step_us) - k * step_us
-            parts.append(
-                batch.append_column(
-                    "window_start",
-                    pa.array(base, type=pa.int64()).cast(pa.timestamp("us")),
-                )
-            )
-        return pa.concat_tables(parts)
+        ws = _window_start_us(batch.column(ts_col), step_us)
+        return batch.append_column(
+            "window_start", pa.array(ws, type=pa.int64()).cast(pa.timestamp("us"))
+        )
 
     assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
-    return ray_agg.grouped_approx_distinct(
-        assigned, ["window_start"], key_cols, settings=settings
+    steps = ray_agg.grouped_approx_distinct(
+        assigned, ["window_start"], key_cols, settings=settings, include_sketch=True
+    )
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        s_us = (
+            batch.column("window_start").combine_chunks().cast(pa.int64()).to_numpy()
+        )
+        parts = []
+        payload = batch.select([SKETCH_COL, ROWS_COL])
+        for k in range(fanout):
+            w = pa.array(s_us - k * step_us, type=pa.int64()).cast(pa.timestamp("us"))
+            parts.append(payload.add_column(0, "window_start", w))
+        out = pa.concat_tables(parts)
+        gh = hashing.hash64_table(out, ["window_start"], seed=GROUP_HASH_SEED)
+        out = out.append_column(GHASH_COL, pa.array(gh, type=pa.int64()))
+        bucket = (gh.view(np.uint64) % np.uint64(DEFAULT_NUM_BUCKETS)).astype(np.int64)
+        return out.append_column(BUCKET_COL, pa.array(bucket, type=pa.int64()))
+
+    merger = make_bucket_merger(["window_start"], include_sketch=False)
+    return (
+        steps.map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(BUCKET_COL)
+        .map_groups(merger, batch_format="pyarrow")
     )
 
 
@@ -135,30 +172,46 @@ def sliding_window_family(
     extra_group_cols: list[str] | tuple[str, ...] = (),
 ):
     """Sliding-window variant of :func:`tumbling_window_family`: the same
-    explode-before-aggregate encoding as :func:`sliding_window_distinct`
-    (fan-out = size/step, applied before the family pre-aggregation so the
-    shuffle still carries one blob per (block, window))."""
+    merge-of-tumbling encoding as :func:`sliding_window_distinct` — one
+    family blob per ``step`` window built once, replicated ``size/step``x
+    as blob rows (never events) and merged per emitted window with the
+    family's associative ``merge``."""
     if size_us % step_us:
         raise ValueError("size_us must be a multiple of step_us")
     fanout = size_us // step_us
 
     def assign(batch: pa.Table) -> pa.Table:
-        parts = []
-        for k in range(fanout):
-            base = _window_start_us(batch.column(ts_col), step_us) - k * step_us
-            parts.append(
-                batch.append_column(
-                    "window_start",
-                    pa.array(base, type=pa.int64()).cast(pa.timestamp("us")),
-                )
-            )
-        return pa.concat_tables(parts)
+        ws = _window_start_us(batch.column(ts_col), step_us)
+        return batch.append_column(
+            "window_start", pa.array(ws, type=pa.int64()).cast(pa.timestamp("us"))
+        )
 
     assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
-    return ray_agg.grouped_aggregate_family(
+    steps = ray_agg.grouped_aggregate_family(
         assigned,
         ["window_start", *extra_group_cols],
         build,
+        family_cls,
+        finalize=None,
+    )
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        s_us = (
+            batch.column("window_start").combine_chunks().cast(pa.int64()).to_numpy()
+        )
+        payload = batch.select([*extra_group_cols, "blob"])
+        parts = []
+        for k in range(fanout):
+            w = pa.array(s_us - k * step_us, type=pa.int64()).cast(pa.timestamp("us"))
+            parts.append(payload.add_column(0, "window_start", w))
+        return pa.concat_tables(parts)
+
+    replicated = steps.map_batches(
+        replicate, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ray_agg.grouped_merge_family(
+        replicated,
+        ["window_start", *extra_group_cols],
         family_cls,
         finalize=finalize,
     )

@@ -57,6 +57,35 @@ def test_sliding_window_distinct(ray_session):
         windows.sliding_window_distinct(ds, "ts", ["user_id"], size_us=2500, step_us=1000)
 
 
+def test_sliding_window_distinct_high_fanout(ray_session):
+    """Merge-of-tumbling must stay exact at the overlap factor the perf
+    claim applies to (fanout 12 — PERF_NOTES #23), not just the driver
+    query's fanout 3."""
+    import ray.data as rd
+
+    from rayhll import ray_agg
+    from rayhll.pipelines import windows
+
+    ds = rd.read_parquet(EV, columns=["ts", "user_id"])
+    got = (
+        windows.sliding_window_distinct(
+            ds, "ts", ["user_id"], size_us=12 * windows.US_PER_HOUR,
+            step_us=windows.US_PER_HOUR, settings=ray_agg.EXACT_MODE,
+        )
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    ks = ",".join(f"({k})" for k in range(12))
+    want = duckdb.sql(
+        "SELECT ws, COUNT(DISTINCT user_id) e FROM ("
+        "SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS ws, user_id "
+        f"FROM read_parquet('{EV}'), (VALUES {ks}) t(k)) GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert got["window_start"].tolist() == want["ws"].tolist()
+    assert got["estimate"].tolist() == want["e"].tolist()
+
+
 def test_session_windows_match_sql_windows(ray_session):
     import ray.data as rd
 

@@ -32,7 +32,16 @@ def _vec_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
 
 
 class _PartialTopK:
-    """Per-batch partial top-k vs the broadcast query matrix."""
+    """Per-batch partial top-k vs the broadcast query matrix.
+
+    The similarity matrix is computed in row-chunks of the batch so the
+    (n_queries x chunk) float64 buffer stays ~32 MB regardless of block
+    size — with many queries an unchunked buffer over a 100-TB-scale
+    block (~500k rows) would be multi-GB per task.  Per-chunk top-k rows
+    are exact partials of the batch top-k; the final argpartition over
+    the k*n_chunks survivors restores exactly k rows per query."""
+
+    _CHUNK_ELEMS = 1 << 22  # sims elements per chunk (~32 MB float64)
 
     def __init__(self, queries_ref, vec_col: str, id_col: str, k: int):
         self.queries = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
@@ -43,20 +52,29 @@ class _PartialTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = _normalize(_vec_matrix(batch, self.vec_col))
         ids = batch.column(self.id_col).to_numpy()
-        sims = self.queries @ mat.T  # (n_queries, n_batch)
-        k = min(self.k, sims.shape[1])
-        part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
-        out_q, out_id, out_sim = [], [], []
-        for qi in range(sims.shape[0]):
-            sel = part[qi]
-            out_q.append(np.full(k, qi, dtype=np.int64))
-            out_id.append(ids[sel])
-            out_sim.append(sims[qi, sel])
+        n_q = self.queries.shape[0]
+        chunk = max(self.k, self._CHUNK_ELEMS // max(1, n_q))
+        sel_idx, sel_sims = [], []
+        for lo in range(0, len(mat), chunk):
+            sims = self.queries @ mat[lo : lo + chunk].T  # (n_q, <=chunk)
+            k = min(self.k, sims.shape[1])
+            part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+            sel_idx.append(part + lo)
+            sel_sims.append(np.take_along_axis(sims, part, axis=1))
+        cand_idx = np.concatenate(sel_idx, axis=1)  # (n_q, k*n_chunks)
+        cand_sims = np.concatenate(sel_sims, axis=1)
+        k = min(self.k, cand_sims.shape[1])
+        if cand_sims.shape[1] > k:
+            part = np.argpartition(-cand_sims, kth=k - 1, axis=1)[:, :k]
+            cand_idx = np.take_along_axis(cand_idx, part, axis=1)
+            cand_sims = np.take_along_axis(cand_sims, part, axis=1)
         return pa.table(
             {
-                "query_idx": pa.array(np.concatenate(out_q), type=pa.int64()),
-                self.id_col: pa.array(np.concatenate(out_id), type=pa.int64()),
-                "cosine": pa.array(np.concatenate(out_sim), type=pa.float64()),
+                "query_idx": pa.array(
+                    np.repeat(np.arange(n_q, dtype=np.int64), k), type=pa.int64()
+                ),
+                self.id_col: pa.array(ids[cand_idx.ravel()], type=pa.int64()),
+                "cosine": pa.array(cand_sims.ravel(), type=pa.float64()),
             }
         )
 

@@ -213,6 +213,37 @@ def test_brute_force_topk_matches_numpy(ray_session):
         assert have == want, qi
 
 
+def test_brute_force_topk_many_queries(ray_session):
+    """The partial top-k and the distributed reduce must stay exact when
+    n_queries stops being tiny (vectorized take_along_axis path — VERDICT
+    r3 item 5): every one of the 500 corpus vectors used as a query."""
+    import ray.data as rd
+
+    from rayhll.pipelines.similarity import brute_force_topk
+
+    emb_path = f"{SF}/embeddings.parquet"
+    ds = rd.read_parquet(emb_path)
+    tbl = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{emb_path}') ORDER BY vec_id"
+    ).df()
+    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    k = 5
+    got = brute_force_topk(ds, mat, k=k).to_pandas()
+    assert len(got) == len(mat) * k
+    sims = matn @ matn.T
+    want_ids = np.argsort(-sims, axis=1)[:, :k]
+    for qi in range(len(mat)):
+        have = set(got[got.query_idx == qi]["vec_id"].tolist())
+        assert have == set(want_ids[qi].tolist()), qi
+    # ranks must be 0..k-1 in cosine-descending order per query
+    g = got.sort_values(["query_idx", "rank"]).reset_index(drop=True)
+    assert g.groupby("query_idx")["rank"].apply(list).map(
+        lambda r: r == list(range(k))
+    ).all()
+    assert (g.groupby("query_idx")["cosine"].diff().dropna() <= 1e-12).all()
+
+
 def test_ivf_topk_recall(ray_session):
     import ray.data as rd
 

@@ -734,6 +734,60 @@ def _q_minhash_exact_dup_pairs(sf_dir: str):
     return pairs.select_columns(["id_a", "id_b"])
 
 
+def _q_minhash_dedup_checkpointed(sf_dir: str):
+    """Checkpointed minhash dedup under the oracle gate (VERDICT r3 item 6):
+    the SAME augmented corpus as ``minhash_exact_dup_pairs`` (documents plus
+    exact copies of doc_id < 25 at id+1,000,000) run through the
+    checkpoint/resume store (``state.checkpoint.minhash_dedup_checkpointed``,
+    threshold 1.0 + text-hash verify) instead of the streaming pipeline —
+    and through a SIMULATED CRASH: the first run dies after 3 of 8 pair
+    buckets, the second resumes from the manifest, so the oracle gates the
+    resumed output.  The shard-writing prep below is test scaffolding
+    (driver-side, small-sf only); real runs hand the function their
+    existing corpus files."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayhll.state.checkpoint import minhash_dedup_checkpointed
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    import pyarrow.compute as pc
+
+    sub = docs.filter(pc.less(docs.column("doc_id"), 25))
+    extra = pa.table(
+        {"doc_id": pc.add(sub.column("doc_id"), 1_000_000), "text": sub.column("text")}
+    )
+    augmented = pa.concat_tables([docs, extra.cast(docs.schema)]).combine_chunks()
+
+    work = tempfile.mkdtemp(prefix="rayhll_ckpt_dedup_")
+    files = []
+    n_shards = 4
+    step = (len(augmented) + n_shards - 1) // n_shards
+    for s in range(n_shards):
+        shard = augmented.slice(s * step, step)
+        path = os.path.join(work, f"docs-{s}.parquet")
+        pq.write_table(shard, path)
+        files.append(path)
+
+    out_dir = os.path.join(work, "ckpt")
+    try:
+        minhash_dedup_checkpointed(
+            files, out_dir, threshold=1.0, verify_text_hash=True,
+            num_buckets=8, fail_after=3,
+        )
+        raise AssertionError("simulated crash did not fire")
+    except RuntimeError:
+        pass  # crashed after 3 pair buckets, as asked
+    pairs = minhash_dedup_checkpointed(
+        files, out_dir, threshold=1.0, verify_text_hash=True, num_buckets=8
+    )
+    return pairs.select(["id_a", "id_b"])
+
+
 def _q_lang_id_accuracy_snippets(sf_dir: str):
     """Language-ID accuracy on deterministic labeled snippets, ORACLE-GATED:
     emits one (snippet_id, correct) row per snippet; the oracle is the
@@ -1346,6 +1400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_embeddings": _q_ivf_topk_embeddings,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "minhash_exact_dup_pairs": _q_minhash_exact_dup_pairs,
+        "minhash_dedup_checkpointed": _q_minhash_dedup_checkpointed,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "simhash_dup_pairs_crafted": _q_simhash_dup_pairs_crafted,
@@ -1566,6 +1621,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM range(12) t(r)"
         ),
         "minhash_exact_dup_pairs": (
+            "SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b "
+            "FROM (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25) a "
+            "JOIN (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25) b "
+            "ON a.text = b.text AND a.doc_id < b.doc_id"
+        ),
+        # checkpointed variant: same corpus, same exact-dup contract -> the
+        # crash-resumed pair set must equal the streaming query's oracle
+        "minhash_dedup_checkpointed": (
             "SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b "
             "FROM (SELECT doc_id, text FROM documents UNION ALL "
             "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25) a "

@@ -39,15 +39,18 @@ def curate_documents(
     lang_col: str = "lang",
     min_tokens: int = 40,
     num_buckets: int | None = None,
+    approx_rows: int | None = None,
 ):
     """Quality-filter + exact-dedup + per-language rollup (see module doc).
 
     Returns a Dataset of ``(lang, n_docs, sum_tokens, min_doc_id)`` rows,
     one per surviving language.  ``num_buckets`` auto-sizes from the input
-    row count when ``None`` (``functions.partitioning``)."""
+    row count when ``None`` (``functions.partitioning``); when ``ds`` is
+    already transformed (no metadata count), pass the caller's post-filter
+    row estimate as ``approx_rows`` so sizing does not fall to the floor."""
     from rayhll.functions.partitioning import resolve_num_buckets
 
-    num_buckets = resolve_num_buckets(ds, num_buckets)
+    num_buckets = resolve_num_buckets(ds, num_buckets, approx_rows=approx_rows)
     stats = ds.map_batches(
         TextStats(text_col), batch_format="pyarrow", zero_copy_batch=True
     )

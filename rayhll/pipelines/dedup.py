@@ -213,7 +213,9 @@ from rayhll.functions.partitioning import (  # noqa: E402 - canonical values
 )
 
 
-def _resolve_num_buckets(ds, num_buckets, rows_per_doc: int) -> int:
+def _resolve_num_buckets(
+    ds, num_buckets, rows_per_doc: int, approx_rows: int | None = None
+) -> int:
     """Co-locating bucket fanout for the dedup groupbys.
 
     Explicit ``num_buckets`` wins.  ``None`` auto-sizes from the input row
@@ -228,7 +230,9 @@ def _resolve_num_buckets(ds, num_buckets, rows_per_doc: int) -> int:
     tests/test_ray_pipelines.py::test_dedup_pairs_bucket_invariance)."""
     from rayhll.functions.partitioning import resolve_num_buckets
 
-    return resolve_num_buckets(ds, num_buckets, rows_per_input_row=rows_per_doc)
+    return resolve_num_buckets(
+        ds, num_buckets, rows_per_input_row=rows_per_doc, approx_rows=approx_rows
+    )
 
 
 def _mod_bucket_col(values: np.ndarray, num_buckets: int) -> pa.Array:
@@ -254,6 +258,7 @@ def minhash_lsh_pairs(
     sig_store_dir: str | None = None,
     sig_slot_bytes: int = 2,
     num_buckets: int | None = None,
+    approx_rows: int | None = None,
 ):
     """Dataset of near-duplicate pairs ``(id_a, id_b, jaccard)`` with
     ``id_a < id_b`` and signature-estimated Jaccard >= threshold.
@@ -281,10 +286,11 @@ def minhash_lsh_pairs(
 
     ``num_buckets`` sizes the co-locating reduce fanout (see
     ``_resolve_num_buckets``); ``None`` auto-targets ~2M exploded rows per
-    reduce task.  Pair sets are invariant to the value."""
+    reduce task, sizing from ``approx_rows`` when ``ds`` is a transformed
+    dataset with no metadata count.  Pair sets are invariant to the value."""
     if sig_slot_bytes not in (1, 2, 4, 8):
         raise ValueError("sig_slot_bytes must be 1, 2, 4 or 8")
-    num_buckets = _resolve_num_buckets(ds, num_buckets, num_bands)
+    num_buckets = _resolve_num_buckets(ds, num_buckets, num_bands, approx_rows)
     if not carry_signatures:
         if verify_text_hash:
             raise ValueError("verify_text_hash requires carry_signatures=True")
@@ -481,24 +487,28 @@ def build_minhash_sig_store(
     num_perm: int,
     num_bands: int,
     gram: int,
+    texthash: bool = False,
 ) -> None:
     """Write (or validate and reuse) the MinHash parquet signature store
     (``signed`` = MinHashStage output) — see
-    :func:`_write_or_validate_sig_store` for the reuse contract."""
+    :func:`_write_or_validate_sig_store` for the reuse contract.
+    ``texthash=True`` marks a store whose rows also carry the 64-bit text
+    hash (``MinHashStage(emit_texthash=True)``) for exact-dedup
+    verification; the manifest keys the flag so a store without the column
+    is never silently reused by a run that needs it."""
     from rayhll.sketches.base import Sketch
 
-    _write_or_validate_sig_store(
-        signed,
-        sig_store_dir,
-        {
-            "format_version": Sketch.format_version,
-            "num_perm": num_perm,
-            "num_bands": num_bands,
-            "gram": gram,
-            "text_col": text_col,
-            "id_col": id_col,
-        },
-    )
+    manifest = {
+        "format_version": Sketch.format_version,
+        "num_perm": num_perm,
+        "num_bands": num_bands,
+        "gram": gram,
+        "text_col": text_col,
+        "id_col": id_col,
+    }
+    if texthash:
+        manifest["texthash"] = True
+    _write_or_validate_sig_store(signed, sig_store_dir, manifest)
 
 
 #: max distinct candidate-pair member ids the verify-join prefilter will
@@ -917,6 +927,7 @@ def ngram_jaccard_pairs(
     num_bands: int = 32,
     max_bucket_size: int = 1000,
     num_buckets: int | None = None,
+    approx_rows: int | None = None,
 ):
     """Pairs with EXACT n-gram (shingle-set) Jaccard >= threshold.
 
@@ -936,6 +947,7 @@ def ngram_jaccard_pairs(
         ds,
         text_col,
         id_col,
+        approx_rows=approx_rows,
         threshold=max(threshold - candidate_slack, 0.0),
         num_perm=num_perm,
         num_bands=num_bands,
@@ -1120,6 +1132,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     max_bucket_size: int = 4096,
     num_buckets: int | None = None,
+    approx_rows: int | None = None,
 ):
     """Near-duplicate pairs by SimHash hamming distance <= max_hamming.
 
@@ -1127,8 +1140,9 @@ def simhash_pairs(
     degenerate-content contract as the MinHash and embedding paths: a
     bucket that large means near-identical content en masse, which exact
     dedup handles; verifying it would be O(b²) pairs).  ``num_buckets``
-    as in ``minhash_lsh_pairs`` (auto-sized when ``None``)."""
-    num_buckets = _resolve_num_buckets(ds, num_buckets, 4)
+    as in ``minhash_lsh_pairs`` (auto-sized when ``None``, from
+    ``approx_rows`` for transformed inputs)."""
+    num_buckets = _resolve_num_buckets(ds, num_buckets, 4, approx_rows)
     stage = SimHashStage(text_col, id_col)
     signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -1343,6 +1357,7 @@ def embedding_near_dup_pairs(
     verify_block: int = 1024,
     carry_vectors: bool = True,
     num_buckets: int | None = None,
+    approx_rows: int | None = None,
 ):
     """Pairs with cosine similarity >= threshold via multi-table
     hyperplane-LSH buckets and chunked exact-cosine verification.
@@ -1366,7 +1381,7 @@ def embedding_near_dup_pairs(
     * ``num_buckets`` as in ``minhash_lsh_pairs`` (auto-sized when
       ``None``).
     """
-    num_buckets = _resolve_num_buckets(ds, num_buckets, num_tables)
+    num_buckets = _resolve_num_buckets(ds, num_buckets, num_tables, approx_rows)
     stage = HyperplaneStage(vec_col, id_col, dim, num_planes, num_tables)
     signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
     if not carry_vectors:

@@ -431,6 +431,7 @@ def minhash_dedup_checkpointed(
     max_bucket_size: int = 1000,
     num_buckets: int = 16,
     sig_slot_bytes: int = 2,
+    verify_text_hash: bool = False,
     fail_after: int | None = None,
 ):
     """Checkpointed MinHash+LSH near-dup pair extraction (VERDICT r2 item 7).
@@ -450,7 +451,10 @@ def minhash_dedup_checkpointed(
     byte-identical no matter where a previous run died.  Verification
     truncates signature slots exactly like the streaming variants
     (``sig_slot_bytes``), so the pair set matches ``minhash_lsh_pairs`` on
-    the same input."""
+    the same input.  ``verify_text_hash=True`` additionally requires the
+    64-bit text hashes to match (the exact-dedup shape at
+    ``threshold=1.0`` — same contract as the streaming variant): the sig
+    store then carries a ``texthash`` column, keyed in its manifest."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -474,6 +478,7 @@ def minhash_dedup_checkpointed(
         "max_bucket_size": max_bucket_size,
         "num_buckets": num_buckets,
         "sig_slot_bytes": sig_slot_bytes,
+        "verify_text_hash": verify_text_hash,
         "text_col": text_col,
         "id_col": id_col,
         "inputs": sorted(input_files),
@@ -481,10 +486,14 @@ def minhash_dedup_checkpointed(
 
     def ensure_store() -> None:
         ds = rd.read_parquet(sorted(input_files), columns=[id_col, text_col])
-        stage = MinHashStage(text_col, id_col, num_perm, num_bands, gram)
+        stage = MinHashStage(
+            text_col, id_col, num_perm, num_bands, gram,
+            emit_texthash=verify_text_hash,
+        )
         signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
         build_minhash_sig_store(
-            signed, sig_store_dir, text_col, id_col, num_perm, num_bands, gram
+            signed, sig_store_dir, text_col, id_col, num_perm, num_bands, gram,
+            texthash=verify_text_hash,
         )
 
     band_cols = [f"band_{b}" for b in range(num_bands)]
@@ -535,7 +544,8 @@ def minhash_dedup_checkpointed(
             ),
             type=pa.int64(),
         )
-        sig_ds = rd.read_parquet(sig_store_dir, columns=[id_col, "signature"])
+        sig_cols = [id_col, "signature"] + (["texthash"] if verify_text_hash else [])
+        sig_ds = rd.read_parquet(sig_store_dir, columns=sig_cols)
         sig_tbl = pa.concat_tables(
             sig_ds.map_batches(
                 lambda t, want=ids_needed: t.filter(pc.is_in(t.column(id_col), want)),
@@ -549,6 +559,9 @@ def minhash_dedup_checkpointed(
         pos_b = order[np.searchsorted(sig_ids[order], cand.column("id_b").to_numpy())]
         jac = (mat[pos_a] == mat[pos_b]).mean(axis=1)
         keep = jac >= threshold
+        if verify_text_hash:
+            th = sig_tbl.column("texthash").to_numpy()
+            keep &= th[pos_a] == th[pos_b]
         return pa.table(
             {
                 "id_a": cand.column("id_a").filter(pa.array(keep)),

@@ -144,6 +144,56 @@ def test_dedup_checkpointed_matches_streaming(ray_session, dup_docs_file, tmp_pa
     assert got[["id_a", "id_b"]].values.tolist() == stream[["id_a", "id_b"]].values.tolist()
 
 
+def test_dedup_checkpointed_texthash_matches_streaming(
+    ray_session, dup_docs_file, tmp_path
+):
+    """verify_text_hash=True (the exact-dedup shape, VERDICT r3 item 6):
+    the checkpointed pair set equals the streaming variant's with the same
+    flag, the sig store carries the texthash column keyed in its manifest,
+    and a store built WITHOUT the column is refused by a run needing it."""
+    import json as _json
+
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import minhash_lsh_pairs
+    from rayhll.state.checkpoint import minhash_dedup_checkpointed
+
+    ckpt = minhash_dedup_checkpointed(
+        [dup_docs_file], str(tmp_path / "th"), num_buckets=8,
+        threshold=1.0, verify_text_hash=True,
+    )
+    ds = rd.read_parquet(dup_docs_file, columns=["doc_id", "text"])
+    stream = (
+        minhash_lsh_pairs(ds, "text", "doc_id", threshold=1.0, verify_text_hash=True)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    got = ckpt.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert (
+        got[["id_a", "id_b"]].values.tolist()
+        == stream[["id_a", "id_b"]].values.tolist()
+    )
+    assert len(got) >= 30  # the planted exact dups
+    mf = _json.load(open(os.path.join(str(tmp_path / "th"), "sigs", "_MANIFEST.json")))
+    assert mf["texthash"] is True
+    # a plain store must not be silently reused by a texthash run
+    plain_dir = str(tmp_path / "plain")
+    minhash_dedup_checkpointed([dup_docs_file], plain_dir, num_buckets=8)
+    import shutil
+
+    th2_dir = str(tmp_path / "th2")
+    os.makedirs(th2_dir)
+    shutil.copytree(
+        os.path.join(plain_dir, "sigs"), os.path.join(th2_dir, "sigs")
+    )
+    with pytest.raises(ValueError, match="signature store"):
+        minhash_dedup_checkpointed(
+            [dup_docs_file], th2_dir, num_buckets=8,
+            threshold=1.0, verify_text_hash=True,
+        )
+
+
 def test_simhash_checkpointed_crash_resume_and_streaming_parity(
     ray_session, dup_docs_file, tmp_path
 ):

@@ -1368,6 +1368,31 @@ def _q_profile_lineitem_columns(sf_dir: str):
     return profile_distinct(ds, cols, settings=ray_agg.EXACT_MODE)
 
 
+def _q_decontam_documents(sf_dir: str):
+    """Benchmark n-gram decontamination over documents, ORACLE-GATED: the
+    benchmark corpus is the 24-token prefix of every doc with
+    ``doc_id % 31 = 5`` (built identically on both sides — tokens joined by
+    a space re-tokenize to themselves), and a training doc is contaminated
+    iff it shares a token 8-gram with any benchmark doc.  ``n_gram_hits``
+    counts DISTINCT leaked grams per doc (= SQL ``COUNT(DISTINCT g)``), so
+    the prefix docs themselves score exactly ``min(n_tokens, 24) - 7``
+    distinct hits and everything else scores 0 (testdata has no natural
+    8-gram overlap) — the full tokenize/roll/membership/distinct-count
+    kernel is exercised and value-checked."""
+    import duckdb
+
+    from rayhll.pipelines.decontam import decontaminate
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    bench_texts = duckdb.sql(
+        "SELECT array_to_string(regexp_extract_all(text, '[A-Za-z0-9_]+')[1:24], ' ') "
+        f"AS btext FROM read_parquet('{doc_path}') WHERE doc_id % 31 = 5"
+    ).arrow().column("btext")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = decontaminate(ds, bench_texts, gram=8, mode="annotate")
+    return out.select_columns(["doc_id", "n_gram_hits", "contaminated"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "hll_distinct_text": _q_distinct_text,
@@ -1419,6 +1444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_event_type": _q_heavy_hitters_event_type,
         "tdigest_price_by_returnflag": _q_tdigest_price_by_returnflag,
         "profile_lineitem_columns": _q_profile_lineitem_columns,
+        "decontam_documents": _q_decontam_documents,
         "users_overlap_click_purchase": _q_users_overlap_click_purchase,
         "theta_users_overlap": _q_theta_users_overlap,
     }
@@ -1469,6 +1495,21 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semijoin_lineitem_part": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem WHERE l_partkey IN "
             "(SELECT p_partkey FROM part WHERE p_size > 40)"
+        ),
+        "decontam_documents": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t "
+            "FROM documents), "
+            "bench_toks AS (SELECT t[1:24] AS bt FROM toks WHERE doc_id % 31 = 5), "
+            "bgrams AS (SELECT DISTINCT unnest(list_transform(range(1, len(bt) - 8 + 2), "
+            "i -> array_to_string(bt[i:i+7], chr(31)))) AS g "
+            "FROM bench_toks WHERE len(bt) >= 8), "
+            "grams AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 8 + 2), "
+            "i -> array_to_string(t[i:i+7], chr(31)))) AS g FROM toks WHERE len(t) >= 8), "
+            "hits AS (SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_gram_hits "
+            "FROM grams WHERE g IN (SELECT g FROM bgrams) GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(h.n_gram_hits, 0) AS n_gram_hits, "
+            "COALESCE(h.n_gram_hits, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN hits h USING(doc_id)"
         ),
         "join_orders_customer_by_segment": (
             "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, "

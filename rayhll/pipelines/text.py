@@ -150,6 +150,59 @@ class LangId:
         ).append_column("lang_conf", pa.array(conf, type=pa.float64()))
 
 
+def token_gram_hashes(
+    texts: pl.Series, gram: int, token_pattern: str = TOKEN_PATTERN
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-document token n-gram hash stream.
+
+    Tokenizes every document with ``token_pattern``, hashes each token
+    (polars xxhash, seed 77), and rolls ``gram`` consecutive token hashes
+    into one SplitMix64-mixed 64-bit gram hash — one kernel pass across the
+    whole batch, no per-document loop.  Two gram hashes are equal iff the
+    underlying token sequences are equal (modulo 64-bit collisions), which
+    makes the stream directly comparable to a SQL ``array_to_string``
+    join-of-tokens gram (the decontamination oracle relies on this).
+
+    Returns ``(valid_lens, grams)``: ``valid_lens[i]`` is the number of
+    n-grams document ``i`` produces (``max(n_tokens - gram + 1, 0)``) and
+    ``grams`` is the flattened uint64 gram-hash stream in document order
+    (``np.repeat(doc_idx, valid_lens)`` maps positions back to documents).
+    """
+    if len(texts) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    if texts.dtype == pl.Null:  # all-null / untyped empty inputs
+        return np.zeros(len(texts), dtype=np.int64), np.empty(0, dtype=np.uint64)
+    toks = (
+        texts.to_frame("t").select(pl.col("t").str.extract_all(token_pattern))["t"]
+    )
+    lengths = toks.list.len().to_numpy().astype(np.int64)
+    flat = toks.explode().drop_nulls()
+    flat_h = (
+        pl.DataFrame({"t": flat})
+        .select(pl.col("t").hash(seed=77).alias("h"))["h"]
+        .to_numpy()
+        .astype(np.uint64)
+    )
+    valid_lens = np.maximum(lengths - gram + 1, 0)
+    if not len(flat_h):
+        return valid_lens, np.empty(0, dtype=np.uint64)
+    rolled = flat_h.copy()
+    for k in range(1, gram):
+        shifted = np.roll(flat_h, -k)
+        rolled = splitmix64(rolled ^ shifted)
+    # valid gram positions per doc: [offset, offset + len - gram]; gather
+    # them with one concatenated-range index (no doc loop)
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    nz = np.flatnonzero(valid_lens)
+    if not len(nz):
+        return valid_lens, np.empty(0, dtype=np.uint64)
+    vl = valid_lens[nz]
+    seg_starts = np.concatenate(([0], np.cumsum(vl)[:-1]))
+    within = np.arange(int(vl.sum()), dtype=np.int64) - np.repeat(seg_starts, vl)
+    pos = np.repeat(offsets[nz], vl) + within
+    return valid_lens, rolled[pos]
+
+
 class Fingerprint:
     """Winnowing-style document fingerprint (Schleimer et al. 2003, simplified):
 
@@ -170,41 +223,16 @@ class Fingerprint:
             .to_numpy()
             .view(np.int64)
         )
-        toks = df.select(
-            pl.col(self.text_col).str.extract_all(TOKEN_PATTERN).alias("t")
-        )["t"]
-        lengths = toks.list.len().to_numpy().astype(np.int64)
-        flat = toks.explode().drop_nulls()
-        flat_h = (
-            pl.DataFrame({"t": flat})
-            .select(pl.col("t").hash(seed=77).alias("h"))["h"]
-            .to_numpy()
-            .astype(np.uint64)
-        )
-        offsets = np.concatenate(([0], np.cumsum(lengths)))
-        g = self.gram
-        mins = np.full(len(lengths), (1 << 64) - 1, dtype=np.uint64)
-        # rolling 3-gram hash over token hashes, vectorized across the batch
-        if len(flat_h):
-            rolled = flat_h.copy()
-            for k in range(1, g):
-                shifted = np.roll(flat_h, -k)
-                rolled = splitmix64(rolled ^ shifted)
-            # valid 3-gram positions per doc: [offset, offset + len - g];
-            # one reduceat over the concatenated valid ranges (no doc loop)
-            valid_lens = np.maximum(lengths - g + 1, 0)
+        valid_lens, grams = token_gram_hashes(df[self.text_col], self.gram)
+        mins = np.full(len(valid_lens), (1 << 64) - 1, dtype=np.uint64)
+        if len(grams):
             nz = np.flatnonzero(valid_lens)
-            if len(nz):
-                vl = valid_lens[nz]
-                seg_starts = np.concatenate(([0], np.cumsum(vl)[:-1]))
-                within = np.arange(int(vl.sum()), dtype=np.int64) - np.repeat(
-                    seg_starts, vl
-                )
-                pos = np.repeat(offsets[nz], vl) + within
-                mins[nz] = np.minimum.reduceat(rolled[pos], seg_starts)
-            # docs with < g tokens: fall back to the full-text hash
-            short = valid_lens == 0
-            mins[short] = fp[short].view(np.uint64)
+            vl = valid_lens[nz]
+            seg_starts = np.concatenate(([0], np.cumsum(vl)[:-1]))
+            mins[nz] = np.minimum.reduceat(grams, seg_starts)
+        # docs with < gram tokens: fall back to the full-text hash
+        short = valid_lens == 0
+        mins[short] = fp[short].view(np.uint64)
         return batch.append_column(
             "fingerprint64", pa.array(fp, type=pa.int64())
         ).append_column("shingle_min64", pa.array(mins.view(np.int64), type=pa.int64()))

@@ -1351,3 +1351,60 @@ def test_prefilter_payload_by_candidates(ray_session):
     out2, n2 = _prefilter_payload_by_candidates(cand, payload, "doc_id", max_ids=2)
     assert n2 is None
     assert out2.count() == 100
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    """Planted benchmark leakage: distinct-gram counting, short docs, and
+    filter mode all match first-principles expectations."""
+    import ray.data as rd
+
+    from rayhll.pipelines.decontam import decontaminate
+
+    bench = ["alpha bravo charlie delta echo foxtrot golf hotel india juliet"]
+    rows = [
+        # full bench doc embedded -> 10 tokens, 3 distinct 8-grams leak
+        {"doc_id": 0, "text": "x0 " + bench[0] + " y0"},
+        # one leaked 8-gram REPEATED twice -> still 1 distinct hit
+        {
+            "doc_id": 1,
+            "text": "alpha bravo charlie delta echo foxtrot golf hotel zz "
+            "alpha bravo charlie delta echo foxtrot golf hotel",
+        },
+        # clean doc, disjoint vocabulary
+        {"doc_id": 2, "text": "uno dos tres cuatro cinco seis siete ocho nueve diez"},
+        # shorter than the gram width -> structurally clean
+        {"doc_id": 3, "text": "alpha bravo charlie"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = (
+        decontaminate(ds, bench, gram=8, mode="annotate")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_gram_hits"] == 3 and bool(out.loc[0, "contaminated"])
+    assert out.loc[1, "n_gram_hits"] == 1  # distinct grams, not occurrences
+    assert out.loc[2, "n_gram_hits"] == 0 and not bool(out.loc[2, "contaminated"])
+    assert out.loc[3, "n_gram_hits"] == 0
+
+    kept = decontaminate(ds, bench, gram=8, mode="filter").to_pandas()
+    assert sorted(kept["doc_id"]) == [2, 3]
+    assert sorted(kept.columns) == ["doc_id", "text"]
+
+
+def test_decontaminate_empty_bench_and_empty_corpus(ray_session):
+    import ray.data as rd
+
+    from rayhll.pipelines.decontam import decontaminate
+
+    ds = rd.from_arrow(
+        pa.Table.from_pylist([{"doc_id": 0, "text": "some tokens here repeated " * 5}])
+    )
+    out = decontaminate(ds, [], gram=8).to_pandas()
+    assert out["n_gram_hits"].tolist() == [0]
+
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], type=pa.int64()),
+                                    "text": pa.array([], type=pa.string())}))
+    got = decontaminate(empty, ["alpha bravo charlie delta echo foxtrot golf hotel"],
+                        gram=8).to_pandas()
+    assert len(got) == 0

@@ -1393,6 +1393,29 @@ def _q_decontam_documents(sf_dir: str):
     return out.select_columns(["doc_id", "n_gram_hits", "contaminated"])
 
 
+def _q_repetition_stats_documents(sf_dir: str):
+    """Gopher-style repetition quality signals per document, ORACLE-GATED:
+    duplicate-line and duplicate-token fractions plus the most-frequent
+    token-2-gram occurrence count, each with an exact DuckDB mirror
+    (``list_distinct`` / grouped ``MAX(COUNT(*))``).  The fractions divide
+    the same int64s on both sides, so the float64s are bit-identical."""
+    from rayhll.pipelines.text import RepetitionStats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(RepetitionStats(), batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(
+        [
+            "doc_id",
+            "n_lines",
+            "n_distinct_lines",
+            "dup_line_frac",
+            "n_distinct_tokens",
+            "dup_token_frac",
+            "top_2gram_count",
+        ]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "hll_distinct_text": _q_distinct_text,
@@ -1445,6 +1468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_price_by_returnflag": _q_tdigest_price_by_returnflag,
         "profile_lineitem_columns": _q_profile_lineitem_columns,
         "decontam_documents": _q_decontam_documents,
+        "repetition_stats_documents": _q_repetition_stats_documents,
         "users_overlap_click_purchase": _q_users_overlap_click_purchase,
         "theta_users_overlap": _q_theta_users_overlap,
     }
@@ -1495,6 +1519,24 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semijoin_lineitem_part": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem WHERE l_partkey IN "
             "(SELECT p_partkey FROM part WHERE p_size > 40)"
+        ),
+        "repetition_stats_documents": (
+            "WITH l AS (SELECT doc_id, str_split(text, chr(10)) AS ls, "
+            "regexp_extract_all(text, '[A-Za-z0-9_]+') AS t FROM documents), "
+            "base AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, "
+            "CAST(len(list_distinct(ls)) AS BIGINT) AS n_distinct_lines, "
+            "CAST(len(t) AS BIGINT) AS n_tok, "
+            "CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens FROM l), "
+            "g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), "
+            "i -> t[i] || chr(31) || t[i+1])) AS g FROM l WHERE len(t) >= 2), "
+            "top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_2gram_count FROM "
+            "(SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g) GROUP BY doc_id) "
+            "SELECT b.doc_id, n_lines, n_distinct_lines, "
+            "(n_lines - n_distinct_lines) / CAST(GREATEST(n_lines, 1) AS DOUBLE) AS dup_line_frac, "
+            "n_distinct_tokens, "
+            "(n_tok - n_distinct_tokens) / CAST(GREATEST(n_tok, 1) AS DOUBLE) AS dup_token_frac, "
+            "COALESCE(top_2gram_count, 0) AS top_2gram_count "
+            "FROM base b LEFT JOIN top USING(doc_id)"
         ),
         "decontam_documents": (
             "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t "

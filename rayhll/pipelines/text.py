@@ -187,9 +187,14 @@ def token_gram_hashes(
     if not len(flat_h):
         return valid_lens, np.empty(0, dtype=np.uint64)
     rolled = flat_h.copy()
+    # position-sensitive fold: multiplying the accumulator by an odd
+    # constant before the xor breaks the symmetry of a plain xor-fold
+    # ("a b" vs "b a", and "x x" vs "y y") that would otherwise alias
+    # distinct grams
+    _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
     for k in range(1, gram):
         shifted = np.roll(flat_h, -k)
-        rolled = splitmix64(rolled ^ shifted)
+        rolled = splitmix64((rolled * _GOLDEN) ^ shifted)
     # valid gram positions per doc: [offset, offset + len - gram]; gather
     # them with one concatenated-range index (no doc loop)
     offsets = np.concatenate(([0], np.cumsum(lengths)))
@@ -201,6 +206,71 @@ def token_gram_hashes(
     within = np.arange(int(vl.sum()), dtype=np.int64) - np.repeat(seg_starts, vl)
     pos = np.repeat(offsets[nz], vl) + within
     return valid_lens, rolled[pos]
+
+
+class RepetitionStats:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A.1.1) —
+    the standard "is this document boilerplate/spam" filters for
+    training-data curation.  Per document:
+
+    * ``n_lines`` / ``n_distinct_lines`` / ``dup_line_frac`` — duplicate-line
+      fraction (``str_split`` on newline; DuckDB ``list_distinct`` mirror);
+    * ``n_distinct_tokens`` / ``dup_token_frac`` — duplicate-token fraction;
+    * ``top_2gram_count`` — occurrences of the document's most frequent
+      token 2-gram (DuckDB ``MAX(COUNT(*)) GROUP BY doc, gram`` mirror).
+
+    One vectorized pass: polars list kernels for the line/token counts, the
+    shared :func:`token_gram_hashes` stream + one lexsort for the per-doc
+    2-gram mode count (no per-document loop).
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([self.text_col]))
+        t = pl.col(self.text_col)
+        stats = df.select(
+            t.str.split("\n").list.len().cast(pl.Int64).alias("n_lines"),
+            t.str.split("\n").list.n_unique().cast(pl.Int64).alias("n_distinct_lines"),
+            t.str.extract_all(TOKEN_PATTERN).list.len().cast(pl.Int64).alias("_n_tok"),
+            t.str.extract_all(TOKEN_PATTERN)
+            .list.n_unique()
+            .cast(pl.Int64)
+            .alias("n_distinct_tokens"),
+        ).to_arrow()
+        n_lines = stats.column("n_lines").to_numpy()
+        n_dlines = stats.column("n_distinct_lines").to_numpy()
+        n_tok = stats.column("_n_tok").to_numpy()
+        n_dtok = stats.column("n_distinct_tokens").to_numpy()
+        dup_line = (n_lines - n_dlines) / np.maximum(n_lines, 1)
+        dup_tok = (n_tok - n_dtok) / np.maximum(n_tok, 1)
+
+        valid_lens, grams = token_gram_hashes(df[self.text_col], 2)
+        top2 = np.zeros(len(valid_lens), dtype=np.int64)
+        if len(grams):
+            doc_idx = np.repeat(np.arange(len(valid_lens), dtype=np.int64), valid_lens)
+            order = np.lexsort((grams, doc_idx))
+            d, g = doc_idx[order], grams[order]
+            # run boundaries over equal (doc, gram); max run length per doc
+            first = np.concatenate(([True], (d[1:] != d[:-1]) | (g[1:] != g[:-1])))
+            starts = np.flatnonzero(first)
+            run_lens = np.diff(np.concatenate((starts, [len(d)])))
+            run_doc = d[starts]
+            doc_first = np.concatenate(([True], run_doc[1:] != run_doc[:-1]))
+            seg_starts = np.flatnonzero(doc_first)
+            top2[run_doc[seg_starts]] = np.maximum.reduceat(run_lens, seg_starts)
+        out = batch
+        for name, arr, typ in (
+            ("n_lines", n_lines, pa.int64()),
+            ("n_distinct_lines", n_dlines, pa.int64()),
+            ("dup_line_frac", dup_line, pa.float64()),
+            ("n_distinct_tokens", n_dtok, pa.int64()),
+            ("dup_token_frac", dup_tok, pa.float64()),
+            ("top_2gram_count", top2, pa.int64()),
+        ):
+            out = out.append_column(name, pa.array(arr, type=typ))
+        return out
 
 
 class Fingerprint:

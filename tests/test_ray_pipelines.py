@@ -1408,3 +1408,37 @@ def test_decontaminate_empty_bench_and_empty_corpus(ray_session):
     got = decontaminate(empty, ["alpha bravo charlie delta echo foxtrot golf hotel"],
                         gram=8).to_pandas()
     assert len(got) == 0
+
+
+def test_repetition_stats_planted(ray_session):
+    """Multi-line + repeated-token docs: every column matches hand counts,
+    and the gram-hash fold is order-sensitive (the xor-fold symmetry bug)."""
+    import ray.data as rd
+
+    from rayhll.pipelines.text import RepetitionStats
+
+    rows = [
+        # 4 lines, one duplicated; "spam ham" 2-gram appears 3 times
+        {"doc_id": 0, "text": "spam ham eggs\nspam ham eggs\nspam ham\nother line"},
+        # all-distinct tokens, single line
+        {"doc_id": 1, "text": "uno dos tres cuatro"},
+        # "a b" vs "b a" must NOT alias: top 2-gram count is 1 each
+        {"doc_id": 2, "text": "a b c b a"},
+        # same-token 2-grams from DIFFERENT tokens must not alias either
+        {"doc_id": 3, "text": "x x y y"},
+        {"doc_id": 4, "text": ""},
+    ]
+    out = (
+        rd.from_arrow(pa.Table.from_pylist(rows))
+        .map_batches(RepetitionStats(), batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_lines"] == 4 and out.loc[0, "n_distinct_lines"] == 3
+    assert out.loc[0, "dup_line_frac"] == 0.25
+    assert out.loc[0, "top_2gram_count"] == 3  # "spam ham" x3
+    assert out.loc[1, "dup_token_frac"] == 0.0 and out.loc[1, "top_2gram_count"] == 1
+    assert out.loc[2, "top_2gram_count"] == 1  # "a b" != "b a"
+    assert out.loc[3, "top_2gram_count"] == 1  # "x x" != "y y"
+    assert out.loc[4, "n_lines"] == 1 and out.loc[4, "top_2gram_count"] == 0

@@ -1416,6 +1416,39 @@ def _q_repetition_stats_documents(sf_dir: str):
     )
 
 
+def _q_pii_redact_documents(sf_dir: str):
+    """PII counting + redaction over documents with deterministically
+    planted PII (email/SSN/IPv4 derived from doc_id, constructed
+    identically in the SQL mirror), ORACLE-GATED on the exact redacted
+    text: both engines run the same lookaround-free patterns in the same
+    order, so ``text_redacted`` must match byte-for-byte."""
+    import polars as pl
+    import pyarrow as pa
+
+    from rayhll.pipelines.text import PiiRedact
+
+    def plant(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        aug = df.select(
+            pl.col("doc_id"),
+            (
+                pl.col("text")
+                + pl.lit(" contact user")
+                + pl.col("doc_id").cast(pl.Utf8)
+                + pl.lit("@example.com or 10.1.")
+                + (pl.col("doc_id") % 200).cast(pl.Utf8)
+                + pl.lit(".7 ssn 123-45-6789")
+            ).alias("text"),
+        )
+        return aug.to_arrow()
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        PiiRedact(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return out.select_columns(["doc_id", "n_email", "n_ssn", "n_ipv4", "text_redacted"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "hll_distinct_text": _q_distinct_text,
@@ -1469,6 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lineitem_columns": _q_profile_lineitem_columns,
         "decontam_documents": _q_decontam_documents,
         "repetition_stats_documents": _q_repetition_stats_documents,
+        "pii_redact_documents": _q_pii_redact_documents,
         "users_overlap_click_purchase": _q_users_overlap_click_purchase,
         "theta_users_overlap": _q_theta_users_overlap,
     }
@@ -1537,6 +1571,20 @@ def oracle_sql() -> dict[str, str]:
             "(n_tok - n_distinct_tokens) / CAST(GREATEST(n_tok, 1) AS DOUBLE) AS dup_token_frac, "
             "COALESCE(top_2gram_count, 0) AS top_2gram_count "
             "FROM base b LEFT JOIN top USING(doc_id)"
+        ),
+        "pii_redact_documents": (
+            "WITH aug AS (SELECT doc_id, text || ' contact user' || doc_id || "
+            "'@example.com or 10.1.' || (doc_id % 200) || '.7 ssn 123-45-6789' AS t "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CAST(length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, "
+            "CAST(length(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn, "
+            "CAST(length(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4, "
+            "regexp_replace(regexp_replace(regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
+            "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS text_redacted "
+            "FROM aug"
         ),
         "decontam_documents": (
             "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t "

@@ -273,6 +273,54 @@ class RepetitionStats:
         return out
 
 
+#: Default PII patterns: lookaround-free so polars (rust regex) and DuckDB
+#: (RE2) match identically; applied in dict order (emails first so their
+#: digit runs cannot be re-matched by the narrower numeric patterns).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+}
+
+
+class PiiRedact:
+    """PII scrubbing stage for training-data curation: count and redact
+    emails / SSN-style ids / IPv4 addresses (extensible pattern table).
+
+    Appends ``n_<name>`` int64 match counts per pattern and
+    ``text_redacted`` with every match replaced by its placeholder, in one
+    vectorized polars pass per batch.  Patterns are a shared lookaround-free
+    dialect, so the DuckDB oracle (``regexp_extract_all`` counts + nested
+    ``regexp_replace(..., 'g')`` in the same order) reproduces the output
+    byte-for-byte.
+    """
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        patterns: dict[str, tuple[str, str]] | None = None,
+    ):
+        self.text_col = text_col
+        self.patterns = dict(patterns if patterns is not None else PII_PATTERNS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([self.text_col]))
+        t = pl.col(self.text_col)
+        exprs = [
+            t.str.count_matches(pat).cast(pl.Int64).alias(f"n_{name}")
+            for name, (pat, _) in self.patterns.items()
+        ]
+        red = t
+        for pat, repl in self.patterns.values():
+            red = red.str.replace_all(pat, repl)
+        exprs.append(red.alias("text_redacted"))
+        cols = df.select(exprs).to_arrow()
+        out = batch
+        for name in cols.column_names:
+            out = out.append_column(name, cols.column(name))
+        return out
+
+
 class Fingerprint:
     """Winnowing-style document fingerprint (Schleimer et al. 2003, simplified):
 

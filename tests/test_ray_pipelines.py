@@ -1442,3 +1442,30 @@ def test_repetition_stats_planted(ray_session):
     assert out.loc[2, "top_2gram_count"] == 1  # "a b" != "b a"
     assert out.loc[3, "top_2gram_count"] == 1  # "x x" != "y y"
     assert out.loc[4, "n_lines"] == 1 and out.loc[4, "top_2gram_count"] == 0
+
+
+def test_pii_redact_counts_and_text(ray_session):
+    import ray.data as rd
+
+    from rayhll.pipelines.text import PiiRedact
+
+    rows = [
+        {"doc_id": 0, "text": "mail a.b+c@x-y.org and d@e.io, ip 192.168.0.1, ssn 123-45-6789"},
+        {"doc_id": 1, "text": "clean text with plain numbers 12345 and dots..."},
+        # email containing digits must be redacted as ONE email, and its
+        # remnants must not be double-matched by the numeric patterns
+        {"doc_id": 2, "text": "x 99.2@mail.example.com y"},
+    ]
+    out = (
+        rd.from_arrow(pa.Table.from_pylist(rows))
+        .map_batches(PiiRedact(), batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, ["n_email", "n_ssn", "n_ipv4"]].tolist() == [2, 1, 1]
+    assert out.loc[0, "text_redacted"] == "mail [EMAIL] and [EMAIL], ip [IP], ssn [SSN]"
+    assert out.loc[1, ["n_email", "n_ssn", "n_ipv4"]].tolist() == [0, 0, 0]
+    assert out.loc[1, "text_redacted"] == rows[1]["text"]
+    assert out.loc[2, "n_email"] == 1 and out.loc[2, "n_ipv4"] == 0
+    assert out.loc[2, "text_redacted"] == "x [EMAIL] y"

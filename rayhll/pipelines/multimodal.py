@@ -5,15 +5,15 @@ columns alongside.  Three decoder modes:
 
 * ``decoder="numpy"`` (default) — REAL decoding in pure numpy/stdlib via
   :mod:`rayhll.functions.codecs` and :mod:`rayhll.functions.jpeg`: BMP /
-  binary PPM-PGM / PNG / baseline-JPEG images, RIFF PCM WAV audio, and
-  concatenated-RGB24 raw video.  Decode, feature-extract, nearest-neighbor
+  binary PPM-PGM / PNG / JPEG (baseline AND progressive) images, RIFF PCM
+  WAV audio, and concatenated-RGB24 raw video.  Decode, feature-extract, nearest-neighbor
   resize and frame sampling all operate on actual pixels/samples.
 * ``decoder="fake"`` — deterministic features derived from the payload
   sha256; exercises the full data path for arbitrary (even compressed)
   payloads without codec libraries.
 * ``decoder="real"`` — raises ``NotImplementedError`` at the exact call
   site where a codec library (Pillow / libsndfile / pyav) would handle
-  the remaining compressed formats (WebP/progressive-JPEG/FLAC/H.264);
+  the remaining compressed formats (WebP/AVIF/FLAC/H.264-class);
   those libraries are not in this container.  Swap the marked function
   and everything else stands.
 
@@ -50,14 +50,14 @@ RECOMMENDED_BATCH_SIZE = 256
 
 def _real_decode_stub(media_type: str) -> None:
     # Compressed-format swap point: a deployment with codec libraries
-    # (Pillow for WebP/progressive JPEG, soundfile for FLAC/MP3, pyav for
-    # video) decodes here.  BMP/PPM/WAV/rawvideo, PNG (stdlib zlib) AND
-    # baseline JPEG (functions/jpeg.py) are handled for real by
+    # (Pillow for WebP/AVIF, soundfile for FLAC/MP3, pyav for video)
+    # decodes here.  BMP/PPM/WAV/rawvideo, PNG (stdlib zlib) AND JPEG
+    # (baseline + progressive, functions/jpeg.py) are handled for real by
     # decoder="numpy".
     raise NotImplementedError(
-        f"real {media_type} decoding of WebP/FLAC/MP3/H.264-class formats "
-        "requires a codec library not present in this environment; use "
-        "decoder='numpy' for BMP/PPM/PNG/baseline-JPEG/WAV/rawvideo or "
+        f"real {media_type} decoding of WebP/AVIF/FLAC/MP3/H.264-class "
+        "formats requires a codec library not present in this environment; "
+        "use decoder='numpy' for BMP/PPM/PNG/JPEG/WAV/rawvideo or "
         "decoder='fake' for the digest-feature path"
     )
 
@@ -300,9 +300,10 @@ def synth_asset_table(n: int, seed: int = 7) -> pa.Table:
 
 def synth_media_table(n: int, seed: int = 7) -> pa.Table:
     """Deterministic asset table of REAL decodable payloads for the
-    ``numpy`` decoder path: BMP/PPM/PNG/JPEG images (rotating, so the
-    oracle gate exercises all four containers incl. the zlib inflate +
-    unfilter path and the baseline-JPEG Huffman/IDCT path), 16-bit PCM
+    ``numpy`` decoder path: BMP/PPM/PNG/baseline-JPEG/progressive-JPEG
+    images (rotating, so the oracle gate exercises all five encodings
+    incl. the zlib inflate + unfilter path and both JPEG entropy
+    layouts), 16-bit PCM
     WAVs, raw-RGB24 video.  Dim/rate metadata columns
     intentionally hold -1 sentinels except video dims (which raw RGB24
     genuinely needs) — DecodeStage must recover the true values from the
@@ -311,11 +312,15 @@ def synth_media_table(n: int, seed: int = 7) -> pa.Table:
     ids, media, payloads, ws, hs, rates, durs = [], [], [], [], [], [], []
     from rayhll.functions.jpeg import encode_jpeg
 
+    def encode_jpeg_progressive(img):
+        return encode_jpeg(img, progressive=True)
+
     img_encoders = (
         codecs.encode_bmp,
         codecs.encode_ppm,
         codecs.encode_png,
         encode_jpeg,
+        encode_jpeg_progressive,
     )
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]

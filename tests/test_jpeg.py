@@ -90,17 +90,68 @@ def test_jpeg_rejects_bad_inputs():
         encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8), quality=0)
 
 
-def test_jpeg_rejects_progressive_and_truncated():
+def test_jpeg_rejects_invalid_and_truncated():
     data = bytearray(encode_jpeg(_gradient(16, 16), quality=85))
-    # flip SOF0 (FFC0) to SOF2 (FFC2) -> progressive must be named
+    # flip SOF0 (FFC0) to SOF2: the baseline scan header (Ss=0, Se=63) is
+    # illegal for a progressive DC scan and must fail loudly, not decode
+    # garbage
     i = bytes(data).index(b"\xff\xc0")
     data[i + 1] = 0xC2
     with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(data))
+    # lossless SOF3 stays rejected by name
+    data[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="lossless"):
         decode_jpeg(bytes(data))
     # hard truncation mid-entropy-stream
     whole = encode_jpeg(_gradient(64, 64), quality=85)
     with pytest.raises(ValueError):
         decode_jpeg(whole[: len(whole) // 2])
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """A progressive file holds the same quantized coefficients as the
+    baseline encoding, so decoding both must give IDENTICAL pixels — this
+    pins every progressive scan type (DC/AC first + refinement, EOB runs,
+    per-scan optimal Huffman tables) against the independent baseline
+    path."""
+    rng = np.random.default_rng(11)
+    for h, w, gray, sub, q in [
+        (24, 17, False, False, 85),  # odd dims, 4:4:4
+        (33, 29, False, True, 70),   # 4:2:0 with partial MCUs
+        (21, 5, True, False, 92),    # grayscale
+        (1, 1, True, False, 85),     # degenerate
+    ]:
+        if gray:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        else:
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = ((yy * 3 + xx * 5) % 256).astype(np.uint8)
+            img = np.stack([base, base[::-1], 255 - base], axis=2)
+            img = np.clip(
+                img.astype(int) + rng.integers(-40, 40, img.shape), 0, 255
+            ).astype(np.uint8)
+        pb = encode_jpeg(img, quality=q, subsample=sub, progressive=True)
+        assert b"\xff\xc2" in pb  # really SOF2
+        b = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        p = decode_jpeg(pb)
+        np.testing.assert_array_equal(b, p)
+
+
+def test_jpeg_progressive_spectral_only_script():
+    """A custom spectral-selection-only script (no successive
+    approximation) exercises the plain Ss/Se banding path."""
+    img = _gradient(40, 24)
+    script = [
+        ("dc_first", None, 0, 0, 0, 0),
+        ("ac_first", 0, 1, 5, 0, 0),
+        ("ac_first", 1, 1, 63, 0, 0),
+        ("ac_first", 2, 1, 63, 0, 0),
+        ("ac_first", 0, 6, 63, 0, 0),
+    ]
+    p = decode_jpeg(encode_jpeg(img, quality=80, progressive=True, scan_script=script))
+    b = decode_jpeg(encode_jpeg(img, quality=80))
+    np.testing.assert_array_equal(b, p)
 
 
 def test_jpeg_sniff_and_decode_image_dispatch():

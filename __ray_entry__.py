@@ -1449,6 +1449,29 @@ def _q_pii_redact_documents(sf_dir: str):
     return out.select_columns(["doc_id", "n_email", "n_ssn", "n_ipv4", "text_redacted"])
 
 
+def _q_curation_full_docs_by_lang(sf_dir: str):
+    """FULL training-data curation composition, ORACLE-GATED end-to-end in
+    one SQL statement: token-count quality gate + Gopher repetition gate
+    (duplicate-token fraction) + benchmark decontamination (8-gram overlap
+    with the doc_id %% 31 = 5 prefix corpus, broadcast membership) ->
+    exact content dedup (keep min id) -> per-language rollup.  All three
+    gates run in the fused map before the single bucket shuffle
+    (pipelines/curate.py)."""
+    import duckdb
+
+    from rayhll.pipelines.curate import curate_documents
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    bench_texts = duckdb.sql(
+        "SELECT array_to_string(regexp_extract_all(text, '[A-Za-z0-9_]+')[1:24], ' ') "
+        f"AS btext FROM read_parquet('{doc_path}') WHERE doc_id % 31 = 5"
+    ).arrow().column("btext")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return curate_documents(
+        ds, min_tokens=40, max_dup_token_frac=0.6, bench_texts=bench_texts
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "hll_distinct_text": _q_distinct_text,
@@ -1471,6 +1494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events_windows": _q_range_join_events_windows,
         "broadcast_join_lineitem_brand": _q_broadcast_join_lineitem_brand,
         "curation_docs_by_lang": _q_curation_docs_by_lang,
+        "curation_full_docs_by_lang": _q_curation_full_docs_by_lang,
         "fraction_sample_split_documents": _q_fraction_sample_split_documents,
         "grouped_top_k_orders": _q_grouped_top_k_orders,
         "grouped_sample_documents": _q_grouped_sample_documents,
@@ -1637,6 +1661,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) "
             "AS n_tokens FROM documents), "
             "f AS (SELECT * FROM s WHERE n_tokens >= 40), "
+            "d AS (SELECT MIN(doc_id) AS keep_id FROM f GROUP BY text), "
+            "k AS (SELECT f.* FROM f JOIN d ON f.doc_id = d.keep_id) "
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, "
+            "CAST(MIN(doc_id) AS BIGINT) AS min_doc_id FROM k GROUP BY lang"
+        ),
+        "curation_full_docs_by_lang": (
+            "WITH toks AS (SELECT doc_id, lang, text, "
+            "regexp_extract_all(text, '[A-Za-z0-9_]+') AS t FROM documents), "
+            "s AS (SELECT doc_id, lang, text, CAST(len(t) AS BIGINT) AS n_tokens, "
+            "(len(t) - len(list_distinct(t))) / CAST(GREATEST(len(t), 1) AS DOUBLE) "
+            "AS dup_frac FROM toks), "
+            "bench_toks AS (SELECT t[1:24] AS bt FROM toks WHERE doc_id % 31 = 5), "
+            "bgrams AS (SELECT DISTINCT unnest(list_transform(range(1, len(bt) - 8 + 2), "
+            "i -> array_to_string(bt[i:i+7], chr(31)))) AS g "
+            "FROM bench_toks WHERE len(bt) >= 8), "
+            "grams AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 8 + 2), "
+            "i -> array_to_string(t[i:i+7], chr(31)))) AS g FROM toks WHERE len(t) >= 8), "
+            "contam AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bgrams)), "
+            "f AS (SELECT doc_id, lang, text, n_tokens FROM s WHERE n_tokens >= 40 "
+            "AND dup_frac <= 0.6 AND doc_id NOT IN (SELECT doc_id FROM contam)), "
             "d AS (SELECT MIN(doc_id) AS keep_id FROM f GROUP BY text), "
             "k AS (SELECT f.* FROM f JOIN d ON f.doc_id = d.keep_id) "
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "

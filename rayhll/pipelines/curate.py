@@ -38,10 +38,23 @@ def curate_documents(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     min_tokens: int = 40,
+    max_dup_token_frac: float | None = None,
+    bench_texts=None,
+    decontam_gram: int = 8,
     num_buckets: int | None = None,
     approx_rows: int | None = None,
 ):
-    """Quality-filter + exact-dedup + per-language rollup (see module doc).
+    """Quality-filter + exact-dedup + per-language rollup (see module doc),
+    optionally extended with the two other corpus-hygiene gates:
+
+    * ``max_dup_token_frac`` — drop repetition-heavy documents
+      (Gopher-style duplicate-token fraction, ``pipelines.text.
+      RepetitionStats``);
+    * ``bench_texts`` — drop benchmark-contaminated documents
+      (``pipelines.decontam``: token ``decontam_gram``-gram overlap with
+      the given eval corpus, broadcast membership — still zero extra
+      shuffles; all gates apply in the fused map BEFORE the one bucket
+      exchange).
 
     Returns a Dataset of ``(lang, n_docs, sum_tokens, min_doc_id)`` rows,
     one per surviving language.  ``num_buckets`` auto-sizes from the input
@@ -54,9 +67,45 @@ def curate_documents(
     stats = ds.map_batches(
         TextStats(text_col), batch_format="pyarrow", zero_copy_batch=True
     )
+    if max_dup_token_frac is not None:
+        from rayhll.pipelines.text import RepetitionStats
+
+        stats = stats.map_batches(
+            RepetitionStats(text_col), batch_format="pyarrow", zero_copy_batch=True
+        )
+    if bench_texts is not None:
+        import ray
+
+        from rayhll.pipelines.decontam import (
+            DecontaminateStage,
+            benchmark_gram_hashes,
+        )
+
+        bench_ref = ray.put(benchmark_gram_hashes(bench_texts, decontam_gram))
+        stats = stats.map_batches(
+            DecontaminateStage,
+            fn_constructor_kwargs={
+                "bench_ref": bench_ref,
+                "gram": decontam_gram,
+                "text_col": text_col,
+            },
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
 
     def filter_and_hash(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater_equal(t.column("n_tokens"), pa.scalar(min_tokens)))
+        mask = pc.greater_equal(t.column("n_tokens"), pa.scalar(min_tokens))
+        if max_dup_token_frac is not None:
+            mask = pc.and_(
+                mask,
+                pc.less_equal(
+                    t.column("dup_token_frac"), pa.scalar(float(max_dup_token_frac))
+                ),
+            )
+        if bench_texts is not None:
+            mask = pc.and_(mask, pc.invert(t.column("contaminated").combine_chunks()))
+        t = t.filter(mask)
         h = hash64_table(t, [text_col], seed=0xDD)  # exact-dedup hash contract
         return pa.table(
             {

@@ -60,18 +60,37 @@ def gen(batch: pa.Table) -> pa.Table:
     )
 
 
+FULL = "--full" in sys.argv
+
 ds = rd.range(N).repartition(128).map_batches(gen, batch_format="pyarrow")
+kwargs = {"min_tokens": 40}
+expect_kept = N
+if FULL:
+    # add the repetition + decontamination gates: bench corpus = the
+    # 24-token prefixes of docs 0..499 -> those 500 originals (plus their
+    # planted twins, if any) are dropped as contaminated; synthetic texts
+    # draw 80 tokens from 2000 words so dup_token_frac ~ 0.02 << 0.6
+    B = 500
+    cells = np.arange(B, dtype=np.uint64)[:, None] * np.uint64(131) + np.arange(
+        DOC_LEN, dtype=np.uint64
+    )[None, :]
+    wi = (splitmix64(cells.ravel()) % np.uint64(len(WORDS))).reshape(B, DOC_LEN)
+    bench = [" ".join(row[:24]) for row in WORDS[wi]]
+    kwargs.update(max_dup_token_frac=0.6, bench_texts=bench)
+    expect_kept = N - B
+
 t0 = time.perf_counter()
-out = curate_documents(ds, min_tokens=40).to_pandas()
+out = curate_documents(ds, **kwargs).to_pandas()
 dt = time.perf_counter() - t0
 kept = int(out["n_docs"].sum())
 print(
     json.dumps(
         {
+            "mode": "full" if FULL else "base",
             "n_docs": N + P,
             "kept": kept,
-            "expect_kept": N,  # each planted twin collapses onto its original
-            "conserved": kept == N,
+            "expect_kept": expect_kept,
+            "conserved": kept == expect_kept,
             "sec": round(dt, 2),
             "docs_per_sec": round((N + P) / dt),
             "num_cpus": NCPU,

@@ -159,10 +159,27 @@ def run_queries() -> tuple[dict, float, dict]:
         timed("q2_lineitem_composite_distinct", q2)
         timed("q3_events_grouped_users", q3)
         timed("q4_synth_sketch_build", q4)
+        # high disagreement between the two samples = we measured inside a
+        # contention swing; one more pass is cheap insurance (still bounded)
+        unstable = any(
+            max(first[k], timings[k]) > 1.4 * min(first[k], timings[k])
+            for k in timings
+        )
         for k in list(timings):
             if first[k] < timings[k]:
                 timings[k] = first[k]
                 digests[k] = first_digests.get(k, digests.get(k))
+        if unstable and sum(timings.values()) < 45.0:
+            prev = dict(timings)
+            prev_digests = dict(digests)
+            timed("q1_flagship_docs", q1)
+            timed("q2_lineitem_composite_distinct", q2)
+            timed("q3_events_grouped_users", q3)
+            timed("q4_synth_sketch_build", q4)
+            for k in list(timings):
+                if prev[k] < timings[k]:
+                    timings[k] = prev[k]
+                    digests[k] = prev_digests.get(k, digests.get(k))
     rows_per_sec = SYNTH_ROWS / timings["q4_synth_sketch_build"]
     return timings, rows_per_sec, digests
 

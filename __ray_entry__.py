@@ -1472,6 +1472,45 @@ def _q_curation_full_docs_by_lang(sf_dir: str):
     )
 
 
+def _q_kmeans_embeddings(sf_dir: str):
+    """Distributed spherical k-means over the embeddings table,
+    ORACLE-GATED on its contract: (a) the assignment row count equals
+    COUNT(*) (SQL mirror), (b) per-iteration inertia is non-increasing,
+    (c) the DISTRIBUTED assignment of every vector equals a driver-side
+    numpy argmax against the same centroids (ground truth recomputed from
+    the raw parquet via DuckDB — sf-scale small; at 100 TB this check
+    would sample)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from rayhll.pipelines.similarity import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent, history = kmeans_fit(ds, k=8, iters=6, seed=0)
+    got = kmeans_assign(ds, cent).to_pandas().sort_values("vec_id")
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    truth = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{emb_path}') ORDER BY vec_id"
+    ).df()
+    mat = np.stack(truth["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    want = (mat @ cent.T).argmax(axis=1)
+
+    nonincreasing = all(
+        history[i + 1] <= history[i] + 1e-9 for i in range(len(history) - 1)
+    )
+    match = bool((got["cluster"].to_numpy() == want).all())
+    return pa.table(
+        {
+            "n_vectors": pa.array([len(got)], type=pa.int64()),
+            "inertia_nonincreasing": pa.array([nonincreasing], type=pa.bool_()),
+            "assignments_match": pa.array([match], type=pa.bool_()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "hll_distinct_text": _q_distinct_text,
@@ -1503,6 +1542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_event_value_quantiles": _q_kll_event_value_quantiles,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "ivf_topk_embeddings": _q_ivf_topk_embeddings,
+        "kmeans_embeddings": _q_kmeans_embeddings,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "minhash_exact_dup_pairs": _q_minhash_exact_dup_pairs,
         "minhash_dedup_checkpointed": _q_minhash_dedup_checkpointed,
@@ -1609,6 +1649,11 @@ def oracle_sql() -> dict[str, str]:
             "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'), "
             "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS text_redacted "
             "FROM aug"
+        ),
+        "kmeans_embeddings": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, "
+            "TRUE AS inertia_nonincreasing, TRUE AS assignments_match "
+            "FROM embeddings"
         ),
         "decontam_documents": (
             "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t "

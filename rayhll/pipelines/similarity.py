@@ -291,3 +291,105 @@ def ivf_topk(
         zero_copy_batch=True,
     )
     return _reduce_topk(partial, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (semantic clustering for data-mixing / semantic dedup)
+
+
+def kmeans_fit(
+    ds,
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 8,
+    init_sample: int = 20000,
+    seed: int = 0,
+):
+    """Distributed spherical k-means (Lloyd's) over the FULL dataset.
+
+    Init = sample k-means on the driver (:func:`train_centroids`); then each
+    iteration is ONE streaming pass: every batch assigns its vectors to the
+    broadcast centroids and emits k partial rows (count, vector sum,
+    cosine-sum), and the M-step reduces the ~k x n_blocks partials on the
+    driver — the canonical pre-aggregate-before-reduce shape, so the per-
+    iteration exchange is O(k x dim x blocks) regardless of corpus size.
+
+    Returns ``(centroids, inertia_history)`` where centroids are unit-norm
+    ``(k, dim)`` and inertia is ``sum(1 - cos(vec, centroid))`` per
+    iteration (non-increasing modulo empty-cluster re-seeding).
+    """
+    cent = train_centroids(ds, vec_col, k, sample_rows=init_sample, iters=3, seed=seed)
+    k = len(cent)  # may be < requested when the sample is tiny
+    history: list[float] = []
+
+    def make_estep(cent_ref):
+        def estep(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            mat = _normalize(_vec_matrix(batch, vec_col))
+            sims = mat @ c.T
+            assign = sims.argmax(axis=1)
+            best = sims[np.arange(len(mat)), assign]
+            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            sums = np.zeros((len(c), mat.shape[1]), dtype=np.float64)
+            np.add.at(sums, assign, mat)
+            cos_sum = np.zeros(len(c), dtype=np.float64)
+            np.add.at(cos_sum, assign, best)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c)), type=pa.int64()),
+                    "count": pa.array(counts, type=pa.int64()),
+                    "cos_sum": pa.array(cos_sum, type=pa.float64()),
+                    "vec_sum": pa.array(
+                        [s.tobytes() for s in sums], type=pa.binary()
+                    ),
+                }
+            )
+
+        return estep
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+        parts = ds.map_batches(
+            make_estep(cent_ref), batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()  # ~k rows per block — driver-small by construction
+        dim = cent.shape[1]
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        cos = np.zeros(k, dtype=np.float64)
+        cl = parts["cluster"].to_numpy()
+        np.add.at(counts, cl, parts["count"].to_numpy())
+        np.add.at(cos, cl, parts["cos_sum"].to_numpy())
+        blob = np.stack(
+            [np.frombuffer(b, dtype=np.float64) for b in parts["vec_sum"]]
+        )
+        np.add.at(sums, cl, blob)
+        n = int(counts.sum())
+        history.append(float(n - cos.sum()))
+        nonempty = counts > 0
+        cent = cent.copy()
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cent = _normalize(cent)
+    return cent, history
+
+
+def kmeans_assign(
+    ds, centroids: np.ndarray, vec_col: str = "embedding", id_col: str = "vec_id"
+):
+    """Assign every vector to its nearest (max-cosine) centroid: a streaming
+    broadcast map appending ``cluster`` (int64) and ``cosine`` (float64)."""
+    cent_ref = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _normalize(_vec_matrix(batch, vec_col))
+        sims = mat @ c.T
+        a = sims.argmax(axis=1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(a, type=pa.int64()),
+                "cosine": pa.array(sims[np.arange(len(mat)), a], type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

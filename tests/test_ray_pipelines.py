@@ -1469,3 +1469,42 @@ def test_pii_redact_counts_and_text(ray_session):
     assert out.loc[1, "text_redacted"] == rows[1]["text"]
     assert out.loc[2, "n_email"] == 1 and out.loc[2, "n_ipv4"] == 0
     assert out.loc[2, "text_redacted"] == "x [EMAIL] y"
+
+
+def test_kmeans_recovers_planted_clusters(ray_session):
+    """Three well-separated planted clusters: k-means must recover pure
+    clusters, inertia must be non-increasing, and distributed assignment
+    must equal the driver-side numpy argmax."""
+    import ray.data as rd
+
+    from rayhll.pipelines.similarity import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(5)
+    centers = np.eye(3, 16) * 10.0  # orthogonal, far apart
+    vecs, labels = [], []
+    for c in range(3):
+        pts = centers[c] + rng.normal(0, 0.1, (200, 16))
+        vecs.append(pts)
+        labels += [c] * 200
+    mat = np.concatenate(vecs)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(mat)), type=pa.int64()),
+            "embedding": pa.array(list(mat), type=pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(8)
+    cent, hist = kmeans_fit(ds, k=3, iters=5, seed=1)
+    assert all(hist[i + 1] <= hist[i] + 1e-9 for i in range(len(hist) - 1))
+    out = kmeans_assign(ds, cent).to_pandas().sort_values("vec_id")
+    # purity: every planted cluster maps to exactly one k-means cluster
+    got = out["cluster"].to_numpy()
+    for c in range(3):
+        seg = got[np.array(labels) == c]
+        assert (seg == seg[0]).all()
+    assert len(set(got[::200])) == 3  # and the three are distinct
+    # distributed assignment == driver-side ground truth
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    want = (nm @ cent.T).argmax(axis=1)
+    assert (got == want).all()
+    assert out["cosine"].min() > 0.9  # tight clusters -> high cosine

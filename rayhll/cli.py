@@ -142,12 +142,24 @@ def cmd_curate(args) -> int:
         sorted(glob.glob(args.input)),
         columns=[args.id_col, args.lang_col, args.text_col],
     )
+    bench_texts = None
+    if args.bench_parquet:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        bench_texts = pa.concat_tables(
+            pq.read_table(f, columns=[args.bench_text_col])
+            for f in sorted(glob.glob(args.bench_parquet))
+        ).column(args.bench_text_col)
     out = curate_documents(
         ds,
         text_col=args.text_col,
         id_col=args.id_col,
         lang_col=args.lang_col,
         min_tokens=args.min_tokens,
+        max_dup_token_frac=args.max_dup_token_frac,
+        bench_texts=bench_texts,
+        decontam_gram=args.decontam_gram,
     )
     if args.output:
         out.write_parquet(args.output)
@@ -219,6 +231,20 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--id-col", default="doc_id")
     cu.add_argument("--lang-col", default="lang")
     cu.add_argument("--min-tokens", type=int, default=40)
+    cu.add_argument(
+        "--max-dup-token-frac",
+        type=float,
+        default=None,
+        help="drop docs whose duplicate-token fraction exceeds this (Gopher gate)",
+    )
+    cu.add_argument(
+        "--bench-parquet",
+        default=None,
+        help="parquet glob of a benchmark/eval corpus; docs sharing a token "
+        "n-gram with it are dropped (decontamination gate)",
+    )
+    cu.add_argument("--bench-text-col", default="text")
+    cu.add_argument("--decontam-gram", type=int, default=8)
     cu.add_argument("--output", default=None, help="parquet output dir")
     cu.add_argument("--num-cpus", type=int, default=None)
     cu.set_defaults(fn=cmd_curate)

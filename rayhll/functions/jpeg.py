@@ -922,7 +922,21 @@ def _decode_scan(
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode baseline, extended-sequential, or progressive JPEG bytes to
     uint8 ``(h, w, 3)`` RGB or ``(h, w)`` grayscale.  See the module
-    docstring for the supported envelope."""
+    docstring for the supported envelope.
+
+    Failure contract: ANY malformed/corrupt input raises ``ValueError``
+    (or ``struct.error`` from header parsing) — arithmetic/index faults
+    from garbage entropy data are normalized so corpus-scale decode
+    stages can classify bad payloads instead of crashing the task."""
+    try:
+        return _decode_jpeg_impl(data)
+    except (ValueError, struct.error):
+        raise
+    except (OverflowError, IndexError, KeyError) as ex:
+        raise ValueError(f"corrupt JPEG stream ({type(ex).__name__})") from ex
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2

@@ -183,3 +183,34 @@ def test_jpeg_in_synth_media_table_decodes():
     assert "jpeg" in kinds  # the rotation actually emits JPEGs
     out = DecodeStage(decoder="numpy")(tbl)
     assert out.column("decode_ok").to_pylist() == [True] * 48
+
+
+def test_jpeg_decode_failure_contract_fuzz():
+    """Any truncation or single-byte corruption must either decode or
+    raise ValueError/struct.error — never leak OverflowError/IndexError/
+    KeyError (corpus-scale decode stages catch exactly those two) and
+    never hang.  A truncated PROGRESSIVE file may legitimately decode
+    (incremental rendering is the format's design: a cut inside a
+    trailing EOB run just leaves late refinements unapplied) — but then
+    the result must be a full-shape uint8 image."""
+    from struct import error as struct_error
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (24, 20, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quality=80, progressive=True))
+    for cut in range(2, len(data), 11):
+        try:
+            out = decode_jpeg(bytes(data[:cut]))
+        except (ValueError, struct_error):
+            continue
+        assert out.shape == img.shape and out.dtype == np.uint8
+    for _ in range(300):
+        pos = int(rng.integers(2, len(data)))
+        old = data[pos]
+        data[pos] = int(rng.integers(0, 256))
+        try:
+            decode_jpeg(bytes(data))
+        except (ValueError, struct_error):
+            pass
+        finally:
+            data[pos] = old

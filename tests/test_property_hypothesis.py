@@ -108,3 +108,68 @@ def test_explicit_mode_is_exact(values):
     h = HllSketch(HllSettings(11, 5, expthresh=18))
     h.add_batch(_arr(values))
     assert h.cardinality() == len(set(values))
+
+
+# --- text kernel properties (shared token-hash stream) ---
+
+_tok = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+_doc = st.lists(_tok, min_size=0, max_size=30)
+
+
+@hsettings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=st.lists(_doc, min_size=1, max_size=8), gram=st.integers(2, 5))
+def test_token_gram_stream_properties(docs, gram):
+    """First-principles mirrors of the shared stream kernels: gram counts,
+    hash-distinct tokens, and the 2-gram mode must equal the pure-Python
+    computation on the same token lists."""
+    import collections
+
+    import polars as pl
+
+    from rayhll.pipelines.text import token_gram_hashes, token_hash_stream
+
+    texts = pl.Series([" ".join(d) for d in docs])
+    valid_lens, grams = token_gram_hashes(texts, gram)
+    assert valid_lens.tolist() == [max(len(d) - gram + 1, 0) for d in docs]
+    assert len(grams) == sum(max(len(d) - gram + 1, 0) for d in docs)
+
+    # gram-hash equality == token-sequence equality across the whole batch
+    by_hash: dict[int, tuple] = {}
+    pos = 0
+    for d in docs:
+        for i in range(max(len(d) - gram + 1, 0)):
+            key = int(grams[pos])
+            seq = tuple(d[i : i + gram])
+            assert by_hash.setdefault(key, seq) == seq  # no aliasing
+            pos += 1
+
+    lengths, flat = token_hash_stream(texts)
+    assert lengths.tolist() == [len(d) for d in docs]
+    off = 0
+    for d in docs:
+        seg = flat[off : off + len(d)]
+        assert len(set(seg.tolist())) == len(set(d))  # hash-distinct == distinct
+        off += len(d)
+
+
+@hsettings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+def test_repetition_stats_match_counter(docs):
+    import collections
+
+    import pyarrow as pa
+
+    from rayhll.pipelines.text import RepetitionStats
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+            "text": pa.array([" ".join(d) for d in docs]),
+        }
+    )
+    out = RepetitionStats()(batch).to_pandas()
+    for i, d in enumerate(docs):
+        assert out.loc[i, "n_distinct_tokens"] == len(set(d))
+        grams2 = list(zip(d, d[1:]))
+        want_top = max(collections.Counter(grams2).values()) if grams2 else 0
+        assert out.loc[i, "top_2gram_count"] == want_top

@@ -775,17 +775,22 @@ def _q_minhash_dedup_checkpointed(sf_dir: str):
 
     out_dir = os.path.join(work, "ckpt")
     try:
-        minhash_dedup_checkpointed(
-            files, out_dir, threshold=1.0, verify_text_hash=True,
-            num_buckets=8, fail_after=3,
+        try:
+            minhash_dedup_checkpointed(
+                files, out_dir, threshold=1.0, verify_text_hash=True,
+                num_buckets=8, fail_after=3,
+            )
+            raise AssertionError("simulated crash did not fire")
+        except RuntimeError:
+            pass  # crashed after 3 pair buckets, as asked
+        pairs = minhash_dedup_checkpointed(
+            files, out_dir, threshold=1.0, verify_text_hash=True, num_buckets=8
         )
-        raise AssertionError("simulated crash did not fire")
-    except RuntimeError:
-        pass  # crashed after 3 pair buckets, as asked
-    pairs = minhash_dedup_checkpointed(
-        files, out_dir, threshold=1.0, verify_text_hash=True, num_buckets=8
-    )
-    return pairs.select(["id_a", "id_b"])
+        return pairs.select(["id_a", "id_b"]).combine_chunks()
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)  # scaffolding must not leak /tmp
 
 
 def _q_lang_id_accuracy_snippets(sf_dir: str):

@@ -932,7 +932,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         return _decode_jpeg_impl(data)
     except (ValueError, struct.error):
         raise
-    except (OverflowError, IndexError, KeyError) as ex:
+    except (OverflowError, IndexError, KeyError, ZeroDivisionError, MemoryError) as ex:
         raise ValueError(f"corrupt JPEG stream ({type(ex).__name__})") from ex
 
 
@@ -985,10 +985,17 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             if prec != 8:
                 raise ValueError(f"{prec}-bit JPEG not supported (8-bit only)")
             progressive = marker == 0xC2
+            if fh < 1 or fw < 1 or not 1 <= nf <= 4:
+                raise ValueError("bad JPEG frame header (dims/component count)")
+            if fh * fw > (1 << 28):  # ~268 MP: refuse absurd declared dims
+                raise ValueError("JPEG declared dimensions exceed the decode cap")
             comps = []
             for i in range(nf):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 3 + 3 * i + 3)
-                comps.append((cid, hv >> 4, hv & 0xF, tq))
+                hc, vc = hv >> 4, hv & 0xF
+                if not (1 <= hc <= 4 and 1 <= vc <= 4):
+                    raise ValueError("bad JPEG sampling factors")
+                comps.append((cid, hc, vc, tq))
             if nf == 1:
                 # single-component frames decode as 1x1-sampled regardless
                 # of declared factors (libjpeg convention)

@@ -155,9 +155,15 @@ def token_hash_stream(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Tokenize every document once and hash each token (polars xxhash,
     seed 77).  Returns ``(lengths, flat_h)``: per-doc token counts and the
-    flattened uint64 token-hash stream in document order."""
+    flattened uint64 token-hash stream in document order.
+
+    NULL texts count as 0 tokens (the flagship's null ≡ empty-content
+    stance, pipelines/distinct.py) — a null row must never crash a
+    corpus-scale stage; without the fill, polars' null list length becomes
+    INT64_MIN through the NaN cast and ``np.repeat`` blows up."""
     if len(texts) == 0 or texts.dtype == pl.Null:  # all-null/untyped empties
         return np.zeros(len(texts), dtype=np.int64), np.empty(0, dtype=np.uint64)
+    texts = texts.fill_null("")
     toks = (
         texts.to_frame("t").select(pl.col("t").str.extract_all(token_pattern))["t"]
     )
@@ -247,7 +253,9 @@ class RepetitionStats:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select([self.text_col]))
-        t = pl.col(self.text_col)
+        # null text ≡ "" (one empty line, 0 tokens) — same stance as
+        # token_hash_stream; a null row must never crash or NaN-poison
+        t = pl.col(self.text_col).fill_null("")
         stats = df.select(
             t.str.split("\n").list.len().cast(pl.Int64).alias("n_lines"),
             t.str.split("\n").list.n_unique().cast(pl.Int64).alias("n_distinct_lines"),

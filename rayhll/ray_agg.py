@@ -73,7 +73,9 @@ def build_partials(
     from rayhll.functions.partitioning import resolve_num_buckets
     from rayhll.stages.build import DEFAULT_NUM_BUCKETS
 
-    num_buckets = resolve_num_buckets(ds, num_buckets, floor=DEFAULT_NUM_BUCKETS)
+    num_buckets = resolve_num_buckets(
+        ds, num_buckets, floor=DEFAULT_NUM_BUCKETS, warn_on_floor=False
+    )
     fn_args = dict(
         key_cols=key_cols,
         group_cols=group_cols,
@@ -246,7 +248,7 @@ def grouped_aggregate_family(
     from rayhll.functions.hashing import hash64_table
     from rayhll.functions.partitioning import resolve_num_buckets
 
-    num_buckets = resolve_num_buckets(ds, num_buckets)
+    num_buckets = resolve_num_buckets(ds, num_buckets, warn_on_floor=False)
 
     def partials(batch: pa.Table) -> pa.Table:
         ghash = hash64_table(batch, group_cols, seed=0xFA71)

@@ -1508,3 +1508,34 @@ def test_kmeans_recovers_planted_clusters(ray_session):
     want = (nm @ cent.T).argmax(axis=1)
     assert (got == want).all()
     assert out["cosine"].min() > 0.9  # tight clusters -> high cosine
+
+
+def test_text_stages_survive_null_text(ray_session):
+    """A null text row must flow through every text stage as an empty doc
+    (the flagship's null ≡ empty-content stance), never crash a task."""
+    import ray.data as rd
+
+    from rayhll.pipelines.decontam import decontaminate
+    from rayhll.pipelines.text import Fingerprint, RepetitionStats
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(["alpha beta gamma", None, ""], type=pa.string()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    rep = (
+        ds.map_batches(RepetitionStats(), batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert rep.loc[1, "n_distinct_tokens"] == 0 and rep.loc[1, "n_lines"] == 1
+    dec = (
+        decontaminate(ds, ["alpha beta gamma delta epsilon zeta eta theta"], gram=8)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert dec["n_gram_hits"].tolist() == [0, 0, 0]
+    fp = ds.map_batches(Fingerprint(), batch_format="pyarrow").to_pandas()
+    assert len(fp) == 3

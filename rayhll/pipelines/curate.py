@@ -32,6 +32,45 @@ from rayhll.functions.hashing import hash64_table
 from rayhll.pipelines.text import TextStats
 
 
+class _GateStage:
+    """Fused curation gate stage: one tokenize+hash pass per batch yields
+    ``n_tokens`` (= ``TextStats``'s regex token count), the duplicate-token
+    fraction (when the repetition gate is on), and the benchmark
+    contamination flag (when a bench set is broadcast)."""
+
+    def __init__(self, text_col: str, bench_ref=None, gram: int = 8, need_rep=False):
+        import ray
+
+        self.text_col = text_col
+        self.bench = ray.get(bench_ref) if bench_ref is not None else None
+        self.gram = gram
+        self.need_rep = need_rep
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from rayhll.pipelines.decontam import count_distinct_gram_hits
+        from rayhll.pipelines.text import (
+            distinct_per_doc,
+            gram_hashes_from_stream,
+            token_hash_stream,
+        )
+
+        texts = pl.from_arrow(t.column(self.text_col).combine_chunks())
+        n_tok, flat_h = token_hash_stream(texts)
+        out = t.append_column("n_tokens", pa.array(n_tok, type=pa.int64()))
+        if self.need_rep:
+            dup = (n_tok - distinct_per_doc(n_tok, flat_h)) / np.maximum(n_tok, 1)
+            out = out.append_column(
+                "dup_token_frac", pa.array(dup, type=pa.float64())
+            )
+        if self.bench is not None:
+            vl, grams = gram_hashes_from_stream(n_tok, flat_h, self.gram)
+            hits = count_distinct_gram_hits(vl, grams, self.bench)
+            out = out.append_column(
+                "contaminated", pa.array(hits > 0, type=pa.bool_())
+            )
+        return out
+
+
 def curate_documents(
     ds,
     text_col: str = "text",
@@ -64,34 +103,36 @@ def curate_documents(
     from rayhll.functions.partitioning import resolve_num_buckets
 
     num_buckets = resolve_num_buckets(ds, num_buckets, approx_rows=approx_rows)
-    stats = ds.map_batches(
-        TextStats(text_col), batch_format="pyarrow", zero_copy_batch=True
-    )
-    if max_dup_token_frac is not None:
-        from rayhll.pipelines.text import RepetitionStats
-
-        stats = stats.map_batches(
-            RepetitionStats(text_col), batch_format="pyarrow", zero_copy_batch=True
-        )
-    if bench_texts is not None:
+    gated = max_dup_token_frac is not None or bench_texts is not None
+    if gated:
+        # fused gate stage: ONE tokenize+hash pass per batch feeds the
+        # token count, the duplicate-token fraction, and the benchmark
+        # gram membership (PERF_NOTES #29 — the chained TextStats +
+        # RepetitionStats + DecontaminateStage stack tokenized 3x)
         import ray
 
-        from rayhll.pipelines.decontam import (
-            DecontaminateStage,
-            benchmark_gram_hashes,
-        )
+        from rayhll.pipelines.decontam import benchmark_gram_hashes
 
-        bench_ref = ray.put(benchmark_gram_hashes(bench_texts, decontam_gram))
-        stats = stats.map_batches(
-            DecontaminateStage,
+        bench_ref = (
+            ray.put(benchmark_gram_hashes(bench_texts, decontam_gram))
+            if bench_texts is not None
+            else None
+        )
+        stats = ds.map_batches(
+            _GateStage,
             fn_constructor_kwargs={
+                "text_col": text_col,
                 "bench_ref": bench_ref,
                 "gram": decontam_gram,
-                "text_col": text_col,
+                "need_rep": max_dup_token_frac is not None,
             },
             batch_format="pyarrow",
             zero_copy_batch=True,
             concurrency=(1, 8),
+        )
+    else:
+        stats = ds.map_batches(
+            TextStats(text_col), batch_format="pyarrow", zero_copy_batch=True
         )
 
     def filter_and_hash(t: pa.Table) -> pa.Table:

@@ -85,26 +85,31 @@ class DecontaminateStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = pl.from_arrow(batch.column(self.text_col).combine_chunks())
         valid_lens, grams = token_gram_hashes(texts, self.gram, self.token_pattern)
-        hits = np.zeros(len(valid_lens), dtype=np.int64)
-        if len(grams) and len(self.bench):
-            idx = np.searchsorted(self.bench, grams)
-            idx[idx == len(self.bench)] = 0
-            is_hit = self.bench[idx] == grams
-            if is_hit.any():
-                doc_idx = np.repeat(
-                    np.arange(len(valid_lens), dtype=np.int64), valid_lens
-                )
-                hd, hg = doc_idx[is_hit], grams[is_hit]
-                # distinct (doc, gram) pairs via one lexsort — no doc loop
-                order = np.lexsort((hg, hd))
-                hd, hg = hd[order], hg[order]
-                first = np.concatenate(
-                    ([True], (hd[1:] != hd[:-1]) | (hg[1:] != hg[:-1]))
-                )
-                np.add.at(hits, hd[first], 1)
+        hits = count_distinct_gram_hits(valid_lens, grams, self.bench)
         return batch.append_column(
             "n_gram_hits", pa.array(hits, type=pa.int64())
         ).append_column("contaminated", pa.array(hits > 0, type=pa.bool_()))
+
+
+def count_distinct_gram_hits(
+    valid_lens: np.ndarray, grams: np.ndarray, bench: np.ndarray
+) -> np.ndarray:
+    """DISTINCT benchmark-gram hits per document: one ``searchsorted``
+    membership pass + one lexsort for the distinct-(doc, gram) count."""
+    hits = np.zeros(len(valid_lens), dtype=np.int64)
+    if len(grams) and len(bench):
+        idx = np.searchsorted(bench, grams)
+        idx[idx == len(bench)] = 0
+        is_hit = bench[idx] == grams
+        if is_hit.any():
+            doc_idx = np.repeat(np.arange(len(valid_lens), dtype=np.int64), valid_lens)
+            hd, hg = doc_idx[is_hit], grams[is_hit]
+            # distinct (doc, gram) pairs via one lexsort — no doc loop
+            order = np.lexsort((hg, hd))
+            hd, hg = hd[order], hg[order]
+            first = np.concatenate(([True], (hd[1:] != hd[:-1]) | (hg[1:] != hg[:-1])))
+            np.add.at(hits, hd[first], 1)
+    return hits
 
 
 def decontaminate(

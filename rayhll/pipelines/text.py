@@ -208,6 +208,25 @@ def gram_hashes_from_stream(
     return valid_lens, rolled[pos]
 
 
+def distinct_per_doc(doc_lens: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Distinct-value count per document over a flattened per-doc stream
+    (64-bit-hash distinct — the exact-dedup collision tolerance).  One
+    doc-SALTED single-key argsort (mix a per-doc salt into the value, sort
+    once): 3.2x faster than a two-key lexsort at equal results."""
+    ndocs = len(doc_lens)
+    out = np.zeros(ndocs, dtype=np.int64)
+    if not len(values):
+        return out
+    salt = splitmix64(np.arange(ndocs, dtype=np.uint64) * np.uint64(2654435769))
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), doc_lens)
+    salted = splitmix64(values ^ salt[doc_idx])
+    order = np.argsort(salted)
+    s = salted[order]
+    first = np.concatenate(([True], s[1:] != s[:-1]))
+    np.add.at(out, doc_idx[order][first], 1)
+    return out
+
+
 def token_gram_hashes(
     texts: pl.Series, gram: int, token_pattern: str = TOKEN_PATTERN
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -266,26 +285,18 @@ class RepetitionStats:
 
         # tokenize + hash ONCE; token counts, distinct tokens (64-bit-hash
         # distinct — the same collision tolerance the exact-dedup contract
-        # documents) and the 2-gram mode all derive from the one stream.
-        # per-doc grouping uses the doc-SALTED single-key argsort (mix a
-        # per-doc salt into the hash, sort once): 3.2x faster than a
-        # two-key lexsort at equal results.
+        # documents) and the 2-gram mode all derive from the one stream
         n_tok, flat_h = token_hash_stream(df[self.text_col])
         ndocs = len(n_tok)
-        salt = splitmix64(np.arange(ndocs, dtype=np.uint64) * np.uint64(2654435769))
-        doc_idx_tok = np.repeat(np.arange(ndocs, dtype=np.int64), n_tok)
-        n_dtok = np.zeros(ndocs, dtype=np.int64)
-        if len(flat_h):
-            salted = splitmix64(flat_h ^ salt[doc_idx_tok])
-            order = np.argsort(salted)
-            s = salted[order]
-            first = np.concatenate(([True], s[1:] != s[:-1]))
-            np.add.at(n_dtok, doc_idx_tok[order][first], 1)
+        n_dtok = distinct_per_doc(n_tok, flat_h)
         dup_tok = (n_tok - n_dtok) / np.maximum(n_tok, 1)
 
         valid_lens, grams = gram_hashes_from_stream(n_tok, flat_h, 2)
         top2 = np.zeros(len(valid_lens), dtype=np.int64)
         if len(grams):
+            salt = splitmix64(
+                np.arange(ndocs, dtype=np.uint64) * np.uint64(2654435769)
+            )
             doc_idx = np.repeat(np.arange(len(valid_lens), dtype=np.int64), valid_lens)
             salted = splitmix64(grams ^ salt[doc_idx])
             order = np.argsort(salted)

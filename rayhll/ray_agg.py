@@ -267,59 +267,15 @@ def grouped_aggregate_family(
         bucket = (uniq.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
         return out.append_column(BUCKET_COL, pa.array(bucket, type=pa.int64()))
 
-    def merge_bucket(tbl: pa.Table) -> pa.Table:
-        codes = tbl.column(GHASH_COL).to_numpy()
-        uniq, inv = np.unique(codes, return_inverse=True)
-        first_idx = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(first_idx, inv, np.arange(len(codes), dtype=np.int64))
-        merged: list = [None] * len(uniq)
-        for i, blob in enumerate(tbl.column("blob")):
-            g = int(inv[i])
-            sk = family_cls.from_bytes(blob.as_py())
-            if merged[g] is None:
-                merged[g] = sk
-            else:
-                merged[g].merge(sk)
-        out = tbl.select(group_cols).take(pa.array(first_idx))
-        if finalize is None:
-            out = out.append_column(
-                "blob", pa.array([m.to_bytes() for m in merged], type=pa.binary())
-            )
-        else:
-            cols: dict[str, list] = {}
-            for m in merged:
-                for k, v in finalize(m).items():
-                    cols.setdefault(k, []).append(v)
-            for k, vals in cols.items():
-                out = out.append_column(k, pa.array(vals))
-        return out
-
+    merge_bucket = _make_blob_merge_bucket(group_cols, family_cls, "blob", finalize)
     p = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
     return p.groupby(BUCKET_COL).map_groups(merge_bucket, batch_format="pyarrow")
 
 
-def grouped_merge_family(
-    ds: "ray.data.Dataset",
-    group_cols: list[str],
-    family_cls,
-    blob_col: str = "blob",
-    finalize=None,
-    num_buckets: int = 64,
-) -> "ray.data.Dataset":
-    """Merge EXISTING family-blob rows per group (the second half of
-    :func:`grouped_aggregate_family`, for pipelines that already hold
-    per-partial blobs — e.g. sliding windows replicating per-step sketches
-    into the windows they serve).  The shuffle carries only blob rows, so a
-    fixed ``num_buckets`` is combiner-bounded by construction."""
-    import numpy as np
-
-    from rayhll.functions.hashing import hash64_table
-
-    def key_bucket(batch: pa.Table) -> pa.Table:
-        gh = hash64_table(batch, group_cols, seed=0xFA71)
-        out = batch.append_column(GHASH_COL, pa.array(gh, type=pa.int64()))
-        bucket = (gh.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
-        return out.append_column(BUCKET_COL, pa.array(bucket, type=pa.int64()))
+def _make_blob_merge_bucket(group_cols, family_cls, blob_col, finalize):
+    """The shared reduce half of the family aggregations: per bucket, merge
+    every group's blobs (group identity = 64-bit hash, the documented
+    collision contract) and emit one blob-or-finalized row per group."""
 
     def merge_bucket(tbl: pa.Table) -> pa.Table:
         import numpy as np
@@ -349,6 +305,33 @@ def grouped_merge_family(
             out = out.append_column(k, pa.array(vals))
         return out
 
+    return merge_bucket
+
+
+def grouped_merge_family(
+    ds: "ray.data.Dataset",
+    group_cols: list[str],
+    family_cls,
+    blob_col: str = "blob",
+    finalize=None,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Merge EXISTING family-blob rows per group (the second half of
+    :func:`grouped_aggregate_family`, for pipelines that already hold
+    per-partial blobs — e.g. sliding windows replicating per-step sketches
+    into the windows they serve).  The shuffle carries only blob rows, so a
+    fixed ``num_buckets`` is combiner-bounded by construction."""
+    import numpy as np
+
+    from rayhll.functions.hashing import hash64_table
+
+    def key_bucket(batch: pa.Table) -> pa.Table:
+        gh = hash64_table(batch, group_cols, seed=0xFA71)
+        out = batch.append_column(GHASH_COL, pa.array(gh, type=pa.int64()))
+        bucket = (gh.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return out.append_column(BUCKET_COL, pa.array(bucket, type=pa.int64()))
+
+    merge_bucket = _make_blob_merge_bucket(group_cols, family_cls, blob_col, finalize)
     keyed = ds.map_batches(key_bucket, batch_format="pyarrow", zero_copy_batch=True)
     return keyed.groupby(BUCKET_COL).map_groups(merge_bucket, batch_format="pyarrow")
 

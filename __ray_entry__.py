@@ -1516,6 +1516,19 @@ def _q_kmeans_embeddings(sf_dir: str):
     )
 
 
+def _q_cross_doc_duplication(sf_dir: str):
+    """Cross-document duplicate-gram profile (RefinedWeb-style duplicate
+    text fraction), ORACLE-GATED per document: distinct token 3-grams,
+    how many appear in at least one OTHER document, and their ratio —
+    the SQL mirror builds the same distinct (doc, gram) pairs and counts
+    docs per gram."""
+    from rayhll.pipelines.crossdup import cross_doc_duplication
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = cross_doc_duplication(ds, gram=3)
+    return out.select_columns(["doc_id", "n_grams", "n_shared_grams", "dup_frac"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "hll_distinct_text": _q_distinct_text,
@@ -1571,6 +1584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lineitem_columns": _q_profile_lineitem_columns,
         "decontam_documents": _q_decontam_documents,
         "repetition_stats_documents": _q_repetition_stats_documents,
+        "cross_doc_duplication": _q_cross_doc_duplication,
         "pii_redact_documents": _q_pii_redact_documents,
         "users_overlap_click_purchase": _q_users_overlap_click_purchase,
         "theta_users_overlap": _q_theta_users_overlap,
@@ -1659,6 +1673,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, "
             "TRUE AS inertia_nonincreasing, TRUE AS assignments_match "
             "FROM embeddings"
+        ),
+        "cross_doc_duplication": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t "
+            "FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 3 + 2), "
+            "i -> array_to_string(t[i:i+2], chr(31)))) AS g FROM toks WHERE len(t) >= 3), "
+            "cnt AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+            "CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams, "
+            "SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) AS dup_frac "
+            "FROM grams JOIN cnt USING(g) GROUP BY doc_id"
         ),
         "decontam_documents": (
             "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t "

@@ -1539,3 +1539,34 @@ def test_text_stages_survive_null_text(ray_session):
     assert dec["n_gram_hits"].tolist() == [0, 0, 0]
     fp = ds.map_batches(Fingerprint(), batch_format="pyarrow").to_pandas()
     assert len(fp) == 3
+
+
+def test_cross_doc_duplication_planted(ray_session):
+    """Planted overlap structure: disjoint-vocab docs score 0, an exact
+    twin pair scores 1.0, and a half-overlapping doc scores exactly its
+    shared-gram fraction."""
+    import ray.data as rd
+
+    from rayhll.pipelines.crossdup import cross_doc_duplication
+
+    a = [f"a{j}" for j in range(20)]
+    b = [f"b{j}" for j in range(20)]
+    rows = [
+        {"doc_id": 0, "text": " ".join(a)},
+        {"doc_id": 1, "text": " ".join(a)},   # exact twin of 0
+        {"doc_id": 2, "text": " ".join(b)},   # fully unique vocab
+        # first 11 tokens shared with doc 0 -> 9 shared 3-grams of 18
+        {"doc_id": 3, "text": " ".join(a[:11] + [f"c{j}" for j in range(9)])},
+        {"doc_id": 4, "text": "x y"},          # < gram tokens: omitted
+    ]
+    out = (
+        cross_doc_duplication(rd.from_arrow(pa.Table.from_pylist(rows)), gram=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert sorted(out.index) == [0, 1, 2, 3]
+    assert out.loc[0, "dup_frac"] == 1.0 and out.loc[1, "dup_frac"] == 1.0
+    assert out.loc[2, "dup_frac"] == 0.0
+    assert out.loc[3, "n_grams"] == 18 and out.loc[3, "n_shared_grams"] == 9
+    assert out.loc[3, "dup_frac"] == 0.5

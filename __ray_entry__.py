@@ -1529,6 +1529,19 @@ def _q_cross_doc_duplication(sf_dir: str):
     return out.select_columns(["doc_id", "n_grams", "n_shared_grams", "dup_frac"])
 
 
+def _q_token_budget_sample_documents(sf_dir: str):
+    """Per-language token-budget sampling (data mixing), ORACLE-GATED: take
+    documents per language in doc_id order while the cumulative token
+    count stays within 2,000; SQL mirror is the windowed running sum."""
+    from rayhll.functions.sample import token_budget_sample
+    from rayhll.pipelines.text import TextStats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    stats = ds.map_batches(TextStats(), batch_format="pyarrow", zero_copy_batch=True)
+    out = token_budget_sample(stats, budgets=2000)
+    return out.select_columns(["doc_id", "lang", "n_tokens"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "hll_distinct_text": _q_distinct_text,
@@ -1553,6 +1566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_docs_by_lang": _q_curation_docs_by_lang,
         "curation_full_docs_by_lang": _q_curation_full_docs_by_lang,
         "fraction_sample_split_documents": _q_fraction_sample_split_documents,
+        "token_budget_sample_documents": _q_token_budget_sample_documents,
         "grouped_top_k_orders": _q_grouped_top_k_orders,
         "grouped_sample_documents": _q_grouped_sample_documents,
         "countmin_event_type_counts": _q_countmin_event_type_counts,
@@ -1684,6 +1698,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams, "
             "SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) AS dup_frac "
             "FROM grams JOIN cnt USING(g) GROUP BY doc_id"
+        ),
+        "token_budget_sample_documents": (
+            "WITH s AS (SELECT doc_id, lang, "
+            "CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "w AS (SELECT doc_id, lang, n_tokens, SUM(n_tokens) OVER "
+            "(PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM s) "
+            "SELECT doc_id, lang, n_tokens FROM w WHERE cum <= 2000"
         ),
         "decontam_documents": (
             "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t "

@@ -199,3 +199,61 @@ def hash_fraction_complement(ds, id_cols: list[str] | str, fraction: float, seed
         return tbl.filter(pa.array(h >= threshold))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_budget_sample(
+    ds,
+    budgets: "dict | int",
+    group_col: str = "lang",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+):
+    """Per-group prefix sample by cumulative weight — the data-mixing
+    staple "take documents per source/language until its token budget is
+    full".  Selection order is ``id_col`` ascending (deterministic and
+    SQL-mirrorable: ``SUM(w) OVER (PARTITION BY g ORDER BY id) <= budget``);
+    a row is kept iff its cumulative weight INCLUDING itself fits.
+
+    ``budgets`` is either one int for every group or a dict
+    ``{group: budget}`` (groups absent from the dict are dropped).
+
+    Shape: one bucketed shuffle of compact ``(id, group, weight)`` rows
+    with each group fully co-located (the prefix is inherently sequential
+    per group).  Partitioning assumption — same as ``session_windows``: one
+    group's weight rows fit in one reduce task (24 B/row; a 10^9-doc group
+    is ~24 GB, so shard upstream by source file before this at extreme
+    single-group scale)."""
+    from rayhll.functions.partitioning import resolve_num_buckets
+
+    num_buckets = resolve_num_buckets(ds, num_buckets)
+    fixed = None if isinstance(budgets, dict) else int(budgets)
+    table = dict(budgets) if isinstance(budgets, dict) else None
+
+    def key_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.select([id_col, group_col, weight_col])
+        gh = hash64_table(batch, [group_col], seed=0xB0D6)
+        bucket = (gh.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column(_BUCKET, pa.array(bucket, type=pa.int64()))
+
+    def cut(tbl: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tbl.drop_columns([_BUCKET])).sort([group_col, id_col])
+        cum = df.select(
+            pl.col(weight_col).cum_sum().over(group_col).alias("_cum")
+        )["_cum"]
+        df = df.with_columns(_cum=cum)
+        if fixed is not None:
+            out = df.filter(pl.col("_cum") <= fixed)
+        else:
+            bdf = pl.DataFrame(
+                {group_col: list(table), "_budget": list(table.values())}
+            )
+            out = df.join(bdf, on=group_col, how="inner").filter(
+                pl.col("_cum") <= pl.col("_budget")
+            )
+        return out.select([id_col, group_col, weight_col]).to_arrow()
+
+    keyed = ds.map_batches(key_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed.groupby(_BUCKET).map_groups(cut, batch_format="pyarrow")

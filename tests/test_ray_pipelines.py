@@ -1570,3 +1570,28 @@ def test_cross_doc_duplication_planted(ray_session):
     assert out.loc[2, "dup_frac"] == 0.0
     assert out.loc[3, "n_grams"] == 18 and out.loc[3, "n_shared_grams"] == 9
     assert out.loc[3, "dup_frac"] == 0.5
+
+
+def test_token_budget_sample_per_group_dict(ray_session):
+    """Dict budgets: per-group prefix in id order, inclusive-fit rule,
+    absent groups dropped; many blocks must not change the selection."""
+    import ray.data as rd
+
+    from rayhll.functions.sample import token_budget_sample
+
+    rows = []
+    for g, widths in [("en", [5, 5, 5, 5]), ("de", [9, 2, 9]), ("xx", [1])]:
+        for i, w in enumerate(widths):
+            rows.append({"doc_id": len(rows), "lang": g, "n_tokens": w})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+    out = (
+        token_budget_sample(ds, {"en": 12, "de": 11}, num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # en: 5+5=10 fits, third 5 would make 15 > 12 -> first two kept
+    # de: 9+2=11 fits exactly (inclusive), third 9 -> 20 > 11 dropped
+    # xx: no budget -> dropped entirely
+    assert out[out.lang == "en"]["n_tokens"].tolist() == [5, 5]
+    assert out[out.lang == "de"]["n_tokens"].tolist() == [9, 2]
+    assert "xx" not in set(out.lang)

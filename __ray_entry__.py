@@ -1542,6 +1542,69 @@ def _q_token_budget_sample_documents(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "n_tokens"])
 
 
+def _q_image_phash_crafted(sf_dir: str):
+    """Perceptual image hashing (dHash) over a crafted corpus, ORACLE-GATED
+    on its contract: each of 12 base images is re-encoded through BMP, PPM,
+    PNG, baseline JPEG and progressive JPEG — all five re-encodes of one
+    image must land within hamming distance 6 of the BMP hash (codec-noise
+    robustness), and hashes of DIFFERENT images must sit at distance > 10
+    (discriminability).  Oracle = the all-TRUE table."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions import codecs
+    from rayhll.functions.jpeg import encode_jpeg
+    from rayhll.pipelines.multimodal import PerceptualHashStage
+
+    rng = np.random.default_rng(23)
+    encoders = [
+        ("bmp", codecs.encode_bmp),
+        ("ppm", codecs.encode_ppm),
+        ("png", codecs.encode_png),
+        ("jpeg", lambda im: encode_jpeg(im, quality=85)),
+        ("pjpeg", lambda im: encode_jpeg(im, quality=85, progressive=True)),
+    ]
+    rows = []
+    for i in range(12):
+        yy, xx = np.mgrid[0:40, 0:48]
+        base = ((yy * (i + 2) + xx * (2 * i + 3)) % 256).astype(np.uint8)
+        img = np.stack([base, 255 - base, base.T[:40, :48] if base.T.shape == (40, 48) else base], axis=2)
+        img = np.clip(img.astype(int) + rng.integers(-25, 25, img.shape), 0, 255).astype(np.uint8)
+        for j, (enc_name, enc) in enumerate(encoders):
+            rows.append(
+                {
+                    "asset_id": i * 10 + j,
+                    "media_type": "image",
+                    "payload": enc(img),
+                }
+            )
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    got = (
+        ds.map_batches(PerceptualHashStage, batch_format="pyarrow", concurrency=(1, 4))
+        .to_pandas()
+        .sort_values("asset_id")
+    )
+    h = {int(r.asset_id): int(r.phash64) for r in got.itertuples() if r.phash64 is not None}
+
+    def dist(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    reencode_ok = all(
+        dist(h[i * 10], h[i * 10 + j]) <= 6 for i in range(12) for j in range(1, 5)
+    )
+    distinct_ok = all(
+        dist(h[a * 10], h[b * 10]) > 10 for a in range(12) for b in range(a + 1, 12)
+    )
+    return pa.table(
+        {
+            "n_hashes": pa.array([len(h)], type=pa.int64()),
+            "reencode_within_6": pa.array([reencode_ok], type=pa.bool_()),
+            "distinct_beyond_10": pa.array([distinct_ok], type=pa.bool_()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "hll_distinct_text": _q_distinct_text,
@@ -1589,6 +1652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode_meta": _q_multimodal_decode_meta,
         "multimodal_video_frames": _q_multimodal_video_frames,
+        "image_phash_crafted": _q_image_phash_crafted,
         "window_tumbling_distinct_users": _q_window_tumbling_distinct_users,
         "window_sliding_distinct_users": _q_window_sliding_distinct_users,
         "session_windows_events": _q_session_windows_events,
@@ -1706,6 +1770,10 @@ def oracle_sql() -> dict[str, str]:
             "w AS (SELECT doc_id, lang, n_tokens, SUM(n_tokens) OVER "
             "(PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM s) "
             "SELECT doc_id, lang, n_tokens FROM w WHERE cum <= 2000"
+        ),
+        "image_phash_crafted": (
+            "SELECT CAST(60 AS BIGINT) AS n_hashes, TRUE AS reencode_within_6, "
+            "TRUE AS distinct_beyond_10"
         ),
         "decontam_documents": (
             "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t "

@@ -431,13 +431,13 @@ def resize_nearest(rgb: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
     return rgb[ys[:, None], xs[None, :]]
 
 
-def image_grid_features(rgb: np.ndarray, grid: int = 8) -> np.ndarray:
-    """``grid*grid`` grayscale block means in [0, 1] — a deterministic,
-    resolution-invariant perceptual feature vector (float32)."""
-    gray = rgb.astype(np.float32).mean(axis=2)
+def _block_means(gray: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """``(rows, cols)`` area-averaged block means of a 2-D grayscale image
+    via one integral image (exact block averages, not nearest sampling —
+    robust to codec noise)."""
     h, w = gray.shape
-    ye = ((np.arange(grid + 1) * h) // grid).astype(np.int64)
-    xe = ((np.arange(grid + 1) * w) // grid).astype(np.int64)
+    ye = ((np.arange(rows + 1) * h) // rows).astype(np.int64)
+    xe = ((np.arange(cols + 1) * w) // cols).astype(np.int64)
     csum = np.zeros((h + 1, w + 1), dtype=np.float64)
     np.cumsum(np.cumsum(gray, axis=0), axis=1, out=csum[1:, 1:])
     blk = (
@@ -447,8 +447,27 @@ def image_grid_features(rgb: np.ndarray, grid: int = 8) -> np.ndarray:
         + csum[ye[:-1, None], xe[None, :-1]]
     )
     area = (ye[1:, None] - ye[:-1, None]) * (xe[None, 1:] - xe[None, :-1])
-    area = np.maximum(area, 1)
-    return (blk / area / 255.0).astype(np.float32).ravel()
+    return blk / np.maximum(area, 1)
+
+
+def image_grid_features(rgb: np.ndarray, grid: int = 8) -> np.ndarray:
+    """``grid*grid`` grayscale block means in [0, 1] — a deterministic,
+    resolution-invariant perceptual feature vector (float32)."""
+    gray = rgb.astype(np.float32).mean(axis=2)
+    return (_block_means(gray, grid, grid) / 255.0).astype(np.float32).ravel()
+
+
+def dhash64(rgb: np.ndarray) -> int:
+    """64-bit perceptual difference hash (dHash, Krawetz 2013): 8 rows x 9
+    columns of area-averaged grayscale block means, one bit per horizontal
+    gradient sign.  Robust to re-encoding (lossless containers AND sane
+    JPEG quality levels) and resolution changes; hamming distance over the
+    returned uint64 measures visual similarity.  Returns a Python int in
+    [0, 2^64)."""
+    gray = rgb.astype(np.float32).mean(axis=2) if rgb.ndim == 3 else rgb.astype(np.float32)
+    blk = _block_means(gray, 8, 9)
+    bits = (blk[:, :-1] > blk[:, 1:]).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
 
 
 def audio_band_energy(samples: np.ndarray, bands: int = 64) -> np.ndarray:

@@ -129,6 +129,39 @@ class DecodeStage:
         ).append_column("decode_ok", pa.array(ok, type=pa.bool_()))
 
 
+class PerceptualHashStage:
+    """Actor-pool stage: image payload -> 64-bit perceptual dHash
+    (``codecs.dhash64``) for near-duplicate image detection across
+    re-encodes (the image analogue of SimHash text fingerprints — hamming
+    distance over ``phash64`` measures visual similarity, so the same
+    banding machinery applies downstream).
+
+    Appends ``phash64`` (int64; null for non-images and undecodable
+    payloads)."""
+
+    def __init__(self, decoder: str = "numpy"):
+        if decoder == "real":
+            _real_decode_stub("perceptual-hash")
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        media = batch.column("media_type").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out: list[int | None] = []
+        for m, p in zip(media, payloads):
+            if m != "image" or not p:
+                out.append(None)
+                continue
+            try:
+                rgb = codecs.decode_image(p)
+            except (ValueError, struct_error):
+                out.append(None)
+                continue
+            h = codecs.dhash64(rgb)
+            out.append(h - (1 << 64) if h >= (1 << 63) else h)  # int64 view
+        return batch.append_column("phash64", pa.array(out, type=pa.int64()))
+
+
 class FeatureExtractStage:
     """Actor-pool stage: payload -> fixed-dim feature embedding.
 

@@ -439,3 +439,37 @@ def test_png_gray_alpha_decode():
     img = codecs.decode_image(data)
     assert img.shape == (5, 6, 3)
     np.testing.assert_array_equal(img[:, :, 0], ga[:, :, 0])
+
+
+def test_dhash64_invariances():
+    """dHash contract: exact under lossless re-encode, near under JPEG,
+    resolution-invariant-ish (block means), and far for distinct images."""
+    import numpy as np
+
+    from rayhll.functions import codecs
+    from rayhll.functions.jpeg import encode_jpeg
+
+    def dist(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    rng = np.random.default_rng(9)
+    yy, xx = np.mgrid[0:40, 0:48]
+    base = ((yy * 3 + xx * 5) % 256).astype(np.uint8)
+    img = np.stack([base, 255 - base, base], axis=2)
+    img = np.clip(img.astype(int) + rng.integers(-25, 25, img.shape), 0, 255).astype(np.uint8)
+    h0 = codecs.dhash64(img)
+    assert 0 <= h0 < (1 << 64)
+    # lossless containers: identical pixels -> identical hash
+    assert codecs.dhash64(codecs.decode_png(codecs.encode_png(img))) == h0
+    assert codecs.dhash64(codecs.decode_bmp(codecs.encode_bmp(img))) == h0
+    # lossy JPEG: small hamming drift only
+    from rayhll.functions.jpeg import decode_jpeg
+    assert dist(codecs.dhash64(decode_jpeg(encode_jpeg(img, quality=85))), h0) <= 6
+    # upscaled 2x: block means barely move
+    up = codecs.resize_nearest(img, 96, 80)
+    assert dist(codecs.dhash64(up), h0) <= 6
+    # a different image is far away
+    other = rng.integers(0, 256, img.shape, dtype=np.uint8)
+    assert dist(codecs.dhash64(other), h0) > 10
+    # grayscale input accepted
+    assert isinstance(codecs.dhash64(img[:, :, 0]), int)

@@ -1605,6 +1605,52 @@ def _q_image_phash_crafted(sf_dir: str):
     )
 
 
+def _q_image_near_dup_pairs_crafted(sf_dir: str):
+    """Cross-codec image near-dup pairs, ORACLE-GATED on the exact pair
+    set: 10 distinct images each encoded as BMP, PPM and PNG (lossless —
+    identical pixels, hamming 0, so the pigeonhole candidate stage MUST
+    find all 3 pairs per image), distinct images sit far apart, and an
+    audio payload rides along to prove non-images never pair.  The SQL
+    mirror enumerates the 30 expected (id_a, id_b) pairs arithmetically."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions import codecs
+    from rayhll.pipelines.multimodal import image_near_dup_pairs
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(10):
+        yy, xx = np.mgrid[0:32, 0:40]
+        base = ((yy * (i + 3) + xx * (2 * i + 5)) % 256).astype(np.uint8)
+        img = np.stack([base, 255 - base, base], axis=2)
+        img = np.clip(
+            img.astype(int) + rng.integers(-30, 30, img.shape), 0, 255
+        ).astype(np.uint8)
+        for j, enc in enumerate((codecs.encode_bmp, codecs.encode_ppm, codecs.encode_png)):
+            rows.append(
+                {"asset_id": i * 10 + j, "media_type": "image", "payload": enc(img)}
+            )
+    rows.append(
+        {
+            "asset_id": 999,
+            "media_type": "audio",
+            "payload": codecs.encode_wav(np.zeros(100, dtype=np.int16), 8000),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    pairs = image_near_dup_pairs(ds, max_hamming=3).to_pandas()
+    out = pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "id_a": pa.array(out["id_a"], type=pa.int64()),
+            "id_b": pa.array(out["id_b"], type=pa.int64()),
+            "hamming": pa.array(out["hamming"], type=pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "hll_distinct_text": _q_distinct_text,
@@ -1653,6 +1699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_meta": _q_multimodal_decode_meta,
         "multimodal_video_frames": _q_multimodal_video_frames,
         "image_phash_crafted": _q_image_phash_crafted,
+        "image_near_dup_pairs_crafted": _q_image_near_dup_pairs_crafted,
         "window_tumbling_distinct_users": _q_window_tumbling_distinct_users,
         "window_sliding_distinct_users": _q_window_sliding_distinct_users,
         "session_windows_events": _q_session_windows_events,
@@ -1774,6 +1821,13 @@ def oracle_sql() -> dict[str, str]:
         "image_phash_crafted": (
             "SELECT CAST(60 AS BIGINT) AS n_hashes, TRUE AS reencode_within_6, "
             "TRUE AS distinct_beyond_10"
+        ),
+        "image_near_dup_pairs_crafted": (
+            "WITH img(i) AS (SELECT unnest(range(10))), pair(a, b) AS "
+            "(VALUES (0, 1), (0, 2), (1, 2)) "
+            "SELECT CAST(i * 10 + a AS BIGINT) AS id_a, "
+            "CAST(i * 10 + b AS BIGINT) AS id_b, CAST(0 AS BIGINT) AS hamming "
+            "FROM img CROSS JOIN pair"
         ),
         "decontam_documents": (
             "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t "

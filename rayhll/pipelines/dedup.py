@@ -1063,16 +1063,18 @@ class SimHashStage:
         return out
 
 
-def _make_simhash_bucket_pairs_fn(id_col: str, max_hamming: int, max_bucket_size: int):
-    """In-bucket SimHash pair kernel over (chunk_key, id, simhash64) rows:
+def _make_simhash_bucket_pairs_fn(
+    id_col: str, max_hamming: int, max_bucket_size: int, hash_col: str = "simhash64"
+):
+    """In-bucket hamming pair kernel over (chunk_key, id, <hash64>) rows:
     one lexsort segments the task's rows into equal-chunk-key buckets,
     Python loops only over multi-member buckets (shared by the streaming
-    and checkpointed variants)."""
+    and checkpointed SimHash variants and :func:`hamming64_pairs`)."""
 
     def bucket_pairs(tbl: pa.Table) -> pa.Table:
         keys = tbl.column("chunk_key").to_numpy()
         all_ids = tbl.column(id_col).to_numpy()
-        all_sims = tbl.column("simhash64").to_numpy().astype(np.int64).view(np.uint64)
+        all_sims = tbl.column(hash_col).to_numpy().astype(np.int64).view(np.uint64)
         order = np.lexsort((all_ids, keys))
         k_sorted = keys[order]
         bounds = np.concatenate(
@@ -1142,28 +1144,66 @@ def simhash_pairs(
     dedup handles; verifying it would be O(b²) pairs).  ``num_buckets``
     as in ``minhash_lsh_pairs`` (auto-sized when ``None``, from
     ``approx_rows`` for transformed inputs)."""
+    signed = ds.map_batches(
+        SimHashStage(text_col, id_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hamming64_pairs(
+        signed,
+        id_col,
+        hash_col="simhash64",
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+        num_buckets=_resolve_num_buckets(ds, num_buckets, 4, approx_rows),
+    )
+
+
+def hamming64_pairs(
+    ds,
+    id_col: str,
+    hash_col: str = "simhash64",
+    max_hamming: int = 3,
+    max_bucket_size: int = 4096,
+    num_buckets: int | None = None,
+    approx_rows: int | None = None,
+):
+    """Near-duplicate id pairs by hamming distance over ANY 64-bit
+    fingerprint column — SimHash text prints, perceptual image dHashes
+    (``multimodal.PerceptualHashStage``), or caller-computed signatures.
+
+    4x16-bit chunk bucketing: the pigeonhole principle GUARANTEES recall
+    for ``max_hamming <= 3`` (two hashes within 3 bit flips share at least
+    one intact 16-bit chunk); above 3 the candidate stage is best-effort.
+    Oversized chunk buckets are skipped under the same degenerate-content
+    contract as ``simhash_pairs``.  Null fingerprints never pair."""
     num_buckets = _resolve_num_buckets(ds, num_buckets, 4, approx_rows)
-    stage = SimHashStage(text_col, id_col)
-    signed = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
     def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column(hash_col)
+        if col.null_count:
+            batch = batch.filter(pc.is_valid(col.combine_chunks()))
+            col = batch.column(hash_col)
+        h = col.to_numpy().astype(np.int64).view(np.uint64)
         parts = []
         for c in range(4):
-            ck = batch.column(f"chunk_{c}").to_numpy()
+            ck = ((h >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            ) * 4 + c
             parts.append(
                 pa.table(
                     {
-                        "chunk_key": batch.column(f"chunk_{c}"),
+                        "chunk_key": pa.array(ck, type=pa.int64()),
                         "bkt": _mod_bucket_col(ck, num_buckets),
                         id_col: batch.column(id_col),
-                        "simhash64": batch.column("simhash64"),
+                        hash_col: batch.column(hash_col),
                     }
                 )
             )
         return pa.concat_tables(parts)
 
-    exploded = signed.map_batches(explode, batch_format="pyarrow")
-    bucket_pairs = _make_simhash_bucket_pairs_fn(id_col, max_hamming, max_bucket_size)
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    bucket_pairs = _make_simhash_bucket_pairs_fn(
+        id_col, max_hamming, max_bucket_size, hash_col=hash_col
+    )
     pairs = exploded.groupby("bkt").map_groups(bucket_pairs, batch_format="pyarrow")
 
     def add_pair_bucket(tbl: pa.Table) -> pa.Table:

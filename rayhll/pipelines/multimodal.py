@@ -411,3 +411,33 @@ def multimodal_pipeline(ds, decoder: str = "numpy", concurrency: int | None = No
         )
     decoded = ds.map_batches(DecodeStage(decoder=decoder), **kwargs)
     return decoded.map_batches(FeatureExtractStage(decoder=decoder), **kwargs)
+
+
+def image_near_dup_pairs(
+    ds,
+    id_col: str = "asset_id",
+    max_hamming: int = 3,
+    decoder: str = "numpy",
+    num_buckets: int | None = None,
+):
+    """Near-duplicate IMAGE pairs across re-encodes/containers: decode ->
+    64-bit perceptual dHash (:class:`PerceptualHashStage`) -> hamming-chunk
+    candidate pairing (``dedup.hamming64_pairs`` — the same pigeonhole
+    machinery as SimHash text dedup; recall guaranteed for
+    ``max_hamming <= 3``).  Non-image and undecodable payloads hash to
+    null and never pair."""
+    from rayhll.pipelines.dedup import hamming64_pairs
+
+    hashed = ds.map_batches(
+        PerceptualHashStage,
+        fn_constructor_kwargs={"decoder": decoder},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=RECOMMENDED_BATCH_SIZE,
+        concurrency=(1, 8),
+    )
+    slim = hashed.select_columns([id_col, "phash64"])
+    return hamming64_pairs(
+        slim, id_col, hash_col="phash64", max_hamming=max_hamming,
+        num_buckets=num_buckets,
+    )

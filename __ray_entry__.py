@@ -1651,6 +1651,63 @@ def _q_image_near_dup_pairs_crafted(sf_dir: str):
     )
 
 
+def _q_audio_spectral_crafted(sf_dir: str):
+    """Frequency-domain audio features over crafted WAV tones, ORACLE-GATED
+    on physics: a pure tone's spectral centroid must recover its frequency
+    within 1 Hz (Hann-windowed rfft), white noise must center near
+    rate/4 with high flatness, and a non-audio payload yields nulls.  The
+    SQL mirror enumerates the expected verdict rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.functions import codecs
+    from rayhll.pipelines.multimodal import SpectralFeatureStage
+
+    rate = 16000
+    t = np.arange(rate) / rate
+    rng = np.random.default_rng(17)
+    rows = []
+    freqs = [440.0, 1000.0, 2000.0, 3500.0]
+    for i, f0 in enumerate(freqs):
+        tone = (np.sin(2 * np.pi * f0 * t) * 20000).astype(np.int16)
+        rows.append(
+            {"asset_id": i, "media_type": "audio", "payload": codecs.encode_wav(tone, rate)}
+        )
+    noise = (rng.standard_normal(rate) * 8000).astype(np.int16)
+    rows.append({"asset_id": 10, "media_type": "audio", "payload": codecs.encode_wav(noise, rate)})
+    rows.append({"asset_id": 11, "media_type": "image", "payload": codecs.encode_bmp(
+        np.zeros((8, 8, 3), dtype=np.uint8))})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    got = (
+        ds.map_batches(SpectralFeatureStage, batch_format="pyarrow", concurrency=(1, 4))
+        .to_pandas()
+        .set_index("asset_id")
+    )
+    verdicts = []
+    for i, f0 in enumerate(freqs):
+        verdicts.append(
+            {
+                "asset_id": i,
+                "ok": bool(abs(got.loc[i, "centroid_hz"] - f0) < 1.0
+                           and got.loc[i, "flatness"] < 0.01),
+            }
+        )
+    verdicts.append(
+        {
+            "asset_id": 10,
+            "ok": bool(abs(got.loc[10, "centroid_hz"] - rate / 4) < rate * 0.02
+                       and got.loc[10, "flatness"] > 0.3),
+        }
+    )
+    import pandas as pd
+
+    verdicts.append({"asset_id": 11, "ok": bool(pd.isna(got.loc[11, "centroid_hz"]))})
+    return pa.Table.from_pylist(
+        [{"asset_id": int(v["asset_id"]), "ok": bool(v["ok"])} for v in verdicts]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "hll_distinct_text": _q_distinct_text,
@@ -1700,6 +1757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_video_frames": _q_multimodal_video_frames,
         "image_phash_crafted": _q_image_phash_crafted,
         "image_near_dup_pairs_crafted": _q_image_near_dup_pairs_crafted,
+        "audio_spectral_crafted": _q_audio_spectral_crafted,
         "window_tumbling_distinct_users": _q_window_tumbling_distinct_users,
         "window_sliding_distinct_users": _q_window_sliding_distinct_users,
         "session_windows_events": _q_session_windows_events,
@@ -1828,6 +1886,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(i * 10 + a AS BIGINT) AS id_a, "
             "CAST(i * 10 + b AS BIGINT) AS id_b, CAST(0 AS BIGINT) AS hamming "
             "FROM img CROSS JOIN pair"
+        ),
+        "audio_spectral_crafted": (
+            "SELECT CAST(unnest([0, 1, 2, 3, 10, 11]) AS BIGINT) AS asset_id, TRUE AS ok"
         ),
         "decontam_documents": (
             "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t "

@@ -490,3 +490,50 @@ def audio_band_energy(samples: np.ndarray, bands: int = 64) -> np.ndarray:
     widths = np.maximum(edges[1:] - edges[:-1], 1)
     out[:] = np.sqrt((sq[edges[1:]] - sq[edges[:-1]]) / widths)
     return out
+
+
+def audio_spectral_features(
+    samples: np.ndarray, sample_rate: int, n_mel: int = 24
+) -> np.ndarray:
+    """Frequency-domain audio features via one rfft (pure numpy DSP):
+
+    ``[centroid_hz, rolloff85_hz, bandwidth_hz, flatness, log-mel[n_mel]]``
+    — spectral centroid (power-weighted mean frequency), 85% energy
+    rolloff, power-weighted frequency std-dev, spectral flatness
+    (geometric/arithmetic mean ratio), and ``n_mel`` log-compressed
+    triangular-less mel-spaced band energies.  Deterministic float32; a
+    pure tone's centroid recovers its frequency (pinned by tests)."""
+    if samples.ndim == 2:
+        mono = samples.astype(np.float64).mean(axis=1)
+    else:
+        mono = samples.astype(np.float64)
+    if samples.dtype == np.int16:
+        mono /= 32768.0
+    elif samples.dtype == np.uint8:
+        mono = (mono - 128.0) / 128.0
+    out = np.zeros(4 + n_mel, dtype=np.float32)
+    n = len(mono)
+    if n < 4 or sample_rate <= 0:
+        return out
+    spec = np.abs(np.fft.rfft(mono * np.hanning(n))) ** 2
+    freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+    total = spec.sum()
+    if total <= 0:
+        return out
+    p = spec / total
+    centroid = float((freqs * p).sum())
+    cum = np.cumsum(p)
+    rolloff = float(freqs[np.searchsorted(cum, 0.85)])
+    bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * p).sum()))
+    # flatness over nonzero bins (geometric mean via mean-log)
+    nz = spec[spec > 0]
+    flatness = float(np.exp(np.log(nz).mean()) / nz.mean()) if len(nz) else 0.0
+    # mel-spaced band energies (log1p-compressed), hz -> mel: 2595*log10(1+f/700)
+    mel_max = 2595.0 * np.log10(1.0 + (sample_rate / 2.0) / 700.0)
+    edges_hz = 700.0 * (10.0 ** (np.linspace(0.0, mel_max, n_mel + 1) / 2595.0) - 1.0)
+    idx = np.searchsorted(freqs, edges_hz)
+    sq = np.concatenate(([0.0], np.cumsum(spec)))
+    band = sq[np.minimum(idx[1:], len(spec))] - sq[np.minimum(idx[:-1], len(spec))]
+    out[0], out[1], out[2], out[3] = centroid, rolloff, bandwidth, flatness
+    out[4:] = np.log1p(band).astype(np.float32)
+    return out

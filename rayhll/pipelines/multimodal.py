@@ -162,6 +162,47 @@ class PerceptualHashStage:
         return batch.append_column("phash64", pa.array(out, type=pa.int64()))
 
 
+class SpectralFeatureStage:
+    """Actor-pool stage: audio payload -> frequency-domain features
+    (``codecs.audio_spectral_features``: spectral centroid/rolloff/
+    bandwidth/flatness + mel-spaced log band energies, one rfft per clip).
+    Appends ``centroid_hz``, ``rolloff_hz``, ``flatness`` (float64; null
+    for non-audio/undecodable payloads) and ``spectral`` (list<float32>;
+    an all-zero vector for those rows — a uniform shape keeps the column
+    tensor-castable downstream)."""
+
+    def __init__(self, n_mel: int = 24, decoder: str = "numpy"):
+        if decoder == "real":
+            _real_decode_stub("spectral-features")
+        self.n_mel = n_mel
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        media = batch.column("media_type").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        cents, rolls, flats, vecs = [], [], [], []
+        zero = [0.0] * self.n_mel
+        for m, p in zip(media, payloads):
+            if m != "audio" or not p:
+                cents.append(None); rolls.append(None); flats.append(None)
+                vecs.append(zero)
+                continue
+            try:
+                samples, rate = codecs.decode_wav(p)
+            except (ValueError, struct_error):
+                cents.append(None); rolls.append(None); flats.append(None)
+                vecs.append(zero)
+                continue
+            f = codecs.audio_spectral_features(samples, rate, n_mel=self.n_mel)
+            cents.append(float(f[0])); rolls.append(float(f[1]))
+            flats.append(float(f[3])); vecs.append(f[4:].tolist())
+        return (
+            batch.append_column("centroid_hz", pa.array(cents, type=pa.float64()))
+            .append_column("rolloff_hz", pa.array(rolls, type=pa.float64()))
+            .append_column("flatness", pa.array(flats, type=pa.float64()))
+            .append_column("spectral", pa.array(vecs, type=pa.list_(pa.float32())))
+        )
+
+
 class FeatureExtractStage:
     """Actor-pool stage: payload -> fixed-dim feature embedding.
 

@@ -473,3 +473,34 @@ def test_dhash64_invariances():
     assert dist(codecs.dhash64(other), h0) > 10
     # grayscale input accepted
     assert isinstance(codecs.dhash64(img[:, :, 0]), int)
+
+
+def test_audio_spectral_features_physics():
+    """First-principles DSP checks: tone centroid recovers f0, rolloff just
+    above it, near-zero bandwidth and flatness; white noise centers near
+    rate/4 with high flatness; silence and short clips yield zeros."""
+    import numpy as np
+
+    from rayhll.functions.codecs import audio_spectral_features
+
+    rate = 16000
+    t = np.arange(rate) / rate
+    for f0 in (440.0, 2000.0):
+        tone = (np.sin(2 * np.pi * f0 * t) * 20000).astype(np.int16)
+        f = audio_spectral_features(tone, rate)
+        assert abs(f[0] - f0) < 1.0 and f0 <= f[1] <= f0 + 3
+        assert f[2] < 5.0 and f[3] < 0.01
+        # the tone's energy lands in exactly the right mel band
+        mel_max = 2595.0 * np.log10(1.0 + (rate / 2.0) / 700.0)
+        edges = 700.0 * (10.0 ** (np.linspace(0.0, mel_max, 25) / 2595.0) - 1.0)
+        band = int(np.searchsorted(edges, f0)) - 1
+        assert f[4:].argmax() == band
+    rng = np.random.default_rng(2)
+    noise = (rng.standard_normal(rate) * 8000).astype(np.int16)
+    f = audio_spectral_features(noise, rate)
+    assert abs(f[0] - rate / 4) < rate * 0.02 and f[3] > 0.3
+    assert (audio_spectral_features(np.zeros(rate, dtype=np.int16), rate) == 0).all()
+    assert (audio_spectral_features(np.zeros(2, dtype=np.int16), rate) == 0).all()
+    # stereo mixes down
+    stereo = np.stack([noise, noise], axis=1)
+    np.testing.assert_allclose(audio_spectral_features(stereo, rate)[0], f[0], rtol=1e-6)

@@ -136,8 +136,10 @@ class PerceptualHashStage:
     distance over ``phash64`` measures visual similarity, so the same
     banding machinery applies downstream).
 
-    Appends ``phash64`` (int64; null for non-images and undecodable
-    payloads)."""
+    Videos hash their MIDDLE frame (raw-RGB24 payloads, dims from the
+    ``width``/``height`` metadata columns when present) so re-containered
+    or lightly re-encoded clips pair up too.  Appends ``phash64`` (int64;
+    null for audio and undecodable payloads)."""
 
     def __init__(self, decoder: str = "numpy"):
         if decoder == "real":
@@ -147,14 +149,23 @@ class PerceptualHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         media = batch.column("media_type").to_pylist()
         payloads = batch.column("payload").to_pylist()
+        names = batch.column_names
+        ws = batch.column("width").to_numpy() if "width" in names else None
+        hs = batch.column("height").to_numpy() if "height" in names else None
         out: list[int | None] = []
-        for m, p in zip(media, payloads):
-            if m != "image" or not p:
-                out.append(None)
-                continue
-            try:
-                rgb = codecs.decode_image(p)
-            except (ValueError, struct_error):
+        for i, (m, p) in enumerate(zip(media, payloads)):
+            rgb = None
+            if p:
+                try:
+                    if m == "image":
+                        rgb = codecs.decode_image(p)
+                    elif m == "video" and ws is not None and hs is not None:
+                        frames = codecs.decode_rawvideo(p, int(ws[i]), int(hs[i]))
+                        if len(frames):
+                            rgb = frames[len(frames) // 2]
+                except (ValueError, struct_error):
+                    rgb = None
+            if rgb is None:
                 out.append(None)
                 continue
             h = codecs.dhash64(rgb)

@@ -1595,3 +1595,33 @@ def test_token_budget_sample_per_group_dict(ray_session):
     assert out[out.lang == "en"]["n_tokens"].tolist() == [5, 5]
     assert out[out.lang == "de"]["n_tokens"].tolist() == [9, 2]
     assert "xx" not in set(out.lang)
+
+
+def test_video_perceptual_hash_pairs(ray_session):
+    """Videos hash their middle frame: two clips sharing the same middle
+    frame pair up; the audio row stays null and never pairs."""
+    import ray.data as rd
+
+    from rayhll.functions import codecs
+    from rayhll.pipelines.multimodal import image_near_dup_pairs
+
+    rng = np.random.default_rng(13)
+    mid = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    def clip(seed):
+        r = np.random.default_rng(seed)
+        frames = r.integers(0, 256, (5, 12, 16, 3), dtype=np.uint8)
+        frames[2] = mid
+        return codecs.encode_rawvideo(frames)
+    rows = [
+        {"asset_id": 0, "media_type": "video", "payload": clip(1), "width": 16, "height": 12},
+        {"asset_id": 1, "media_type": "video", "payload": clip(2), "width": 16, "height": 12},
+        {"asset_id": 2, "media_type": "video",
+         "payload": codecs.encode_rawvideo(rng.integers(0, 256, (5, 12, 16, 3), dtype=np.uint8)),
+         "width": 16, "height": 12},
+        {"asset_id": 3, "media_type": "audio",
+         "payload": codecs.encode_wav(np.zeros(64, dtype=np.int16), 8000),
+         "width": -1, "height": -1},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    pairs = image_near_dup_pairs(ds, max_hamming=3).to_pandas()
+    assert set(map(tuple, pairs[["id_a", "id_b"]].values.tolist())) == {(0, 1)}

@@ -1708,6 +1708,50 @@ def _q_audio_spectral_crafted(sf_dir: str):
     )
 
 
+def _q_hashing_embed_documents(sf_dir: str):
+    """Hashing-trick document embeddings (model-free bag-of-words vectors
+    feeding the engine's ANN/k-means/embedding-dedup operators),
+    ORACLE-GATED per document on the vectorizer's contract: the embedding
+    of the token-REVERSED text must be cosine-identical (bag-of-words
+    order invariance) and the embedding of a vocabulary-shifted copy
+    (every token prefixed) must be far (< 0.5).  Oracle = all-TRUE rows,
+    one per document."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    from rayhll.pipelines.text import HashingVectorizer
+
+    hv = HashingVectorizer(dim=256)
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["text"]))
+        toks = df.select(pl.col("text").str.extract_all(r"[A-Za-z0-9_]+"))["text"]
+        rev = pa.array([" ".join(reversed(t)) for t in toks.to_list()])
+        shifted = pa.array([" ".join("q" + w for w in t) for t in toks.to_list()])
+        base = np.stack(
+            [np.array(v) for v in hv(batch).column("embedding").to_pylist()]
+        )
+        m_rev = np.stack(
+            [np.array(v) for v in hv(pa.table({"text": rev})).column("embedding").to_pylist()]
+        )
+        m_shift = np.stack(
+            [np.array(v) for v in hv(pa.table({"text": shifted})).column("embedding").to_pylist()]
+        )
+        cos_rev = (base * m_rev).sum(axis=1)
+        cos_shift = (base * m_shift).sum(axis=1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "order_invariant": pa.array(cos_rev > 1 - 1e-5, type=pa.bool_()),
+                "vocab_sensitive": pa.array(cos_shift < 0.5, type=pa.bool_()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(verdict, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "hll_distinct_text": _q_distinct_text,
@@ -1733,6 +1777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_full_docs_by_lang": _q_curation_full_docs_by_lang,
         "fraction_sample_split_documents": _q_fraction_sample_split_documents,
         "token_budget_sample_documents": _q_token_budget_sample_documents,
+        "hashing_embed_documents": _q_hashing_embed_documents,
         "grouped_top_k_orders": _q_grouped_top_k_orders,
         "grouped_sample_documents": _q_grouped_sample_documents,
         "countmin_event_type_counts": _q_countmin_event_type_counts,
@@ -1889,6 +1934,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "audio_spectral_crafted": (
             "SELECT CAST(unnest([0, 1, 2, 3, 10, 11]) AS BIGINT) AS asset_id, TRUE AS ok"
+        ),
+        "hashing_embed_documents": (
+            "SELECT doc_id, TRUE AS order_invariant, TRUE AS vocab_sensitive "
+            "FROM documents"
         ),
         "decontam_documents": (
             "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t "

@@ -400,3 +400,43 @@ class Fingerprint:
         return batch.append_column(
             "fingerprint64", pa.array(fp, type=pa.int64())
         ).append_column("shingle_min64", pa.array(mins.view(np.int64), type=pa.int64()))
+
+
+class HashingVectorizer:
+    """Model-free document embeddings via the hashing trick (Weinberger et
+    al. 2009): each token hash lands in one of ``dim`` buckets with a ±1
+    sign bit, accumulated and L2-normalized — a bag-of-words vector with no
+    vocabulary to ship, so the stage is stateless and the output column
+    feeds the engine's embedding operators (ANN top-k, k-means, embedding
+    near-dup) directly.
+
+    Properties the oracle pins: token-order invariance (cosine(doc,
+    permutation) == 1), near-orthogonality of disjoint vocabularies, and
+    determinism.  One ``bincount`` over (doc, bucket) per batch — no
+    per-document loop.  Appends ``<out_col>`` (list<float32>; all-zero for
+    empty/null docs)."""
+
+    def __init__(self, dim: int = 256, text_col: str = "text", out_col: str = "embedding"):
+        self.dim = dim
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pl.from_arrow(batch.column(self.text_col).combine_chunks())
+        lengths, flat_h = token_hash_stream(texts)
+        n = len(lengths)
+        mat = np.zeros((n, self.dim), dtype=np.float64)
+        if len(flat_h):
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            bucket = (flat_h % np.uint64(self.dim)).astype(np.int64)
+            sign = np.where((flat_h >> np.uint64(63)).astype(bool), -1.0, 1.0)
+            flat = np.bincount(
+                doc_idx * self.dim + bucket, weights=sign, minlength=n * self.dim
+            )
+            mat = flat.reshape(n, self.dim)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = np.divide(mat, norms, out=np.zeros_like(mat), where=norms > 0)
+        return batch.append_column(
+            self.out_col,
+            pa.array(list(mat.astype(np.float32)), type=pa.list_(pa.float32())),
+        )

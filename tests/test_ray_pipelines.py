@@ -1625,3 +1625,32 @@ def test_video_perceptual_hash_pairs(ray_session):
     ds = rd.from_arrow(pa.Table.from_pylist(rows))
     pairs = image_near_dup_pairs(ds, max_hamming=3).to_pandas()
     assert set(map(tuple, pairs[["id_a", "id_b"]].values.tolist())) == {(0, 1)}
+
+
+def test_hashing_vectorizer_feeds_embedding_ops(ray_session):
+    """The hashing-trick vectors plug straight into the embedding
+    operators: k-means over hashed docs separates two disjoint-vocabulary
+    clusters perfectly."""
+    import ray.data as rd
+
+    from rayhll.pipelines.similarity import kmeans_assign, kmeans_fit
+    from rayhll.pipelines.text import HashingVectorizer
+
+    rows = []
+    for i in range(60):
+        fam = i % 2
+        toks = [f"f{fam}w{(i * 7 + j) % 30}" for j in range(25)]
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    ds = (
+        rd.from_arrow(pa.Table.from_pylist(rows))
+        .repartition(4)
+        .map_batches(HashingVectorizer(dim=128), batch_format="pyarrow")
+        .select_columns(["doc_id", "embedding"])
+        .materialize()
+    )
+    cent, hist = kmeans_fit(ds, vec_col="embedding", k=2, iters=4, seed=3)
+    out = kmeans_assign(ds, cent, vec_col="embedding", id_col="doc_id").to_pandas()
+    out = out.sort_values("doc_id")
+    got = out["cluster"].to_numpy()
+    assert (got[::2] == got[0]).all() and (got[1::2] == got[1]).all()
+    assert got[0] != got[1]

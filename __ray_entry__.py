@@ -1569,7 +1569,7 @@ def _q_image_phash_crafted(sf_dir: str):
     for i in range(12):
         yy, xx = np.mgrid[0:40, 0:48]
         base = ((yy * (i + 2) + xx * (2 * i + 3)) % 256).astype(np.uint8)
-        img = np.stack([base, 255 - base, base.T[:40, :48] if base.T.shape == (40, 48) else base], axis=2)
+        img = np.stack([base, 255 - base, np.roll(base, 7, axis=1)], axis=2)
         img = np.clip(img.astype(int) + rng.integers(-25, 25, img.shape), 0, 255).astype(np.uint8)
         for j, (enc_name, enc) in enumerate(encoders):
             rows.append(
@@ -1726,9 +1726,14 @@ def _q_hashing_embed_documents(sf_dir: str):
 
     def verdict(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select(["text"]))
-        toks = df.select(pl.col("text").str.extract_all(r"[A-Za-z0-9_]+"))["text"]
-        rev = pa.array([" ".join(reversed(t)) for t in toks.to_list()])
-        shifted = pa.array([" ".join("q" + w for w in t) for t in toks.to_list()])
+        tok_lists = [
+            t if t is not None else []  # null text ≡ empty doc
+            for t in df.select(pl.col("text").str.extract_all(r"[A-Za-z0-9_]+"))[
+                "text"
+            ].to_list()
+        ]
+        rev = pa.array([" ".join(reversed(t)) for t in tok_lists])
+        shifted = pa.array([" ".join("q" + w for w in t) for t in tok_lists])
         base = np.stack(
             [np.array(v) for v in hv(batch).column("embedding").to_pylist()]
         )
@@ -1740,11 +1745,18 @@ def _q_hashing_embed_documents(sf_dir: str):
         )
         cos_rev = (base * m_rev).sum(axis=1)
         cos_shift = (base * m_shift).sum(axis=1)
+        # zero-token docs embed to the zero vector on both sides: the
+        # contract holds vacuously
+        empty = np.array([len(t) == 0 for t in tok_lists])
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "order_invariant": pa.array(cos_rev > 1 - 1e-5, type=pa.bool_()),
-                "vocab_sensitive": pa.array(cos_shift < 0.5, type=pa.bool_()),
+                "order_invariant": pa.array(
+                    (cos_rev > 1 - 1e-5) | empty, type=pa.bool_()
+                ),
+                "vocab_sensitive": pa.array(
+                    (cos_shift < 0.5) | empty, type=pa.bool_()
+                ),
             }
         )
 

@@ -240,8 +240,11 @@ def token_budget_sample(
         import polars as pl
 
         df = pl.from_arrow(tbl.drop_columns([_BUCKET])).sort([group_col, id_col])
+        # null weights contribute 0 to the running sum and stay ELIGIBLE,
+        # matching the SQL mirror (windowed SUM skips NULLs); a plain
+        # cum_sum would null the cumulative and silently drop the row
         cum = df.select(
-            pl.col(weight_col).cum_sum().over(group_col).alias("_cum")
+            pl.col(weight_col).fill_null(0).cum_sum().over(group_col).alias("_cum")
         )["_cum"]
         df = df.with_columns(_cum=cum)
         if fixed is not None:

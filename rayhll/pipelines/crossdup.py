@@ -27,9 +27,6 @@ from rayhll.pipelines.text import TOKEN_PATTERN, token_gram_hashes
 
 __all__ = ["cross_doc_duplication"]
 
-#: fixed fanout for the tiny (doc, bucket)-partial rollup — combiner-bounded
-DOC_ROLLUP_BUCKETS = 64
-
 
 def cross_doc_duplication(
     ds,
@@ -94,7 +91,7 @@ def cross_doc_duplication(
             inv, weights=shared.astype(np.float64), minlength=len(uniq_d)
         ).astype(np.int64)
         dbucket = (
-            splitmix64(uniq_d.astype(np.uint64)) % np.uint64(DOC_ROLLUP_BUCKETS)
+            splitmix64(uniq_d.astype(np.uint64)) % np.uint64(num_buckets)
         ).astype(np.int64)
         return pa.table(
             {
@@ -122,7 +119,8 @@ def cross_doc_duplication(
         ).to_numpy().astype(np.float64)
         return out.append_column("dup_frac", pa.array(frac, type=pa.float64()))
 
-    # second exchange: O(docs x buckets-touched) partial rows, far below
-    # the pair exchange; a modest fixed doc-hash fanout with a whole-bucket
-    # polars rollup (never one Python call per doc)
+    # second exchange: O(docs x gram-buckets-touched) partial rows — up to
+    # the pair-exchange size when grams/doc <= num_buckets — so it reuses
+    # the SAME auto-sized fanout (a scale-proof upper bound), with a
+    # whole-bucket polars rollup (never one Python call per doc)
     return partials.groupby("_dbucket").map_groups(rollup, batch_format="pyarrow")

@@ -54,9 +54,18 @@ class _GateStage:
             token_hash_stream,
         )
 
-        texts = pl.from_arrow(t.column(self.text_col).combine_chunks())
+        text_arr = t.column(self.text_col).combine_chunks()
+        texts = pl.from_arrow(text_arr)
         n_tok, flat_h = token_hash_stream(texts)
-        out = t.append_column("n_tokens", pa.array(n_tok, type=pa.int64()))
+        # n_tokens is NULL for null texts — matching TextStats (the ungated
+        # branch) and the SQL mirror, so enabling a gate never changes
+        # which null-text docs survive the min_tokens filter
+        null_mask = (
+            np.asarray(pc.is_null(text_arr)) if text_arr.null_count else None
+        )
+        out = t.append_column(
+            "n_tokens", pa.array(n_tok, type=pa.int64(), mask=null_mask)
+        )
         if self.need_rep:
             dup = (n_tok - distinct_per_doc(n_tok, flat_h)) / np.maximum(n_tok, 1)
             out = out.append_column(

@@ -1020,9 +1020,13 @@ class SimHashStage:
     of token hashes.  Vectorized: popcount via bit-unpacking of the token
     hash matrix, one ``reduceat`` per batch."""
 
-    def __init__(self, text_col: str, id_col: str):
+    def __init__(self, text_col: str, id_col: str, emit_chunks: bool = True):
         self.text_col = text_col
         self.id_col = id_col
+        # chunk columns feed the parquet sig-store format (checkpointed
+        # path); the streaming pair path recomputes them inside
+        # hamming64_pairs, so it opts out to skip 4 dead int64 columns
+        self.emit_chunks = emit_chunks
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select([self.text_col]))
@@ -1057,9 +1061,12 @@ class SimHashStage:
             }
         )
         # 4 x 16-bit chunk keys for hamming<=3 candidate bucketing
-        for c in range(4):
-            chunk = ((sim >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
-            out = out.append_column(f"chunk_{c}", pa.array(chunk * 4 + c, type=pa.int64()))
+        if self.emit_chunks:
+            for c in range(4):
+                chunk = ((sim >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+                out = out.append_column(
+                    f"chunk_{c}", pa.array(chunk * 4 + c, type=pa.int64())
+                )
         return out
 
 
@@ -1145,7 +1152,9 @@ def simhash_pairs(
     as in ``minhash_lsh_pairs`` (auto-sized when ``None``, from
     ``approx_rows`` for transformed inputs)."""
     signed = ds.map_batches(
-        SimHashStage(text_col, id_col), batch_format="pyarrow", zero_copy_batch=True
+        SimHashStage(text_col, id_col, emit_chunks=False),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     return hamming64_pairs(
         signed,

@@ -478,8 +478,12 @@ def image_near_dup_pairs(
     machinery as SimHash text dedup; recall guaranteed for
     ``max_hamming <= 3``).  Non-image and undecodable payloads hash to
     null and never pair."""
+    from rayhll.functions.partitioning import resolve_num_buckets
     from rayhll.pipelines.dedup import hamming64_pairs
 
+    # size the pairing fanout from the RAW input's metadata count (the
+    # hashed dataset is transformed and would silently fall to the floor)
+    num_buckets = resolve_num_buckets(ds, num_buckets, rows_per_input_row=4.0)
     hashed = ds.map_batches(
         PerceptualHashStage,
         fn_constructor_kwargs={"decoder": decoder},

@@ -1654,3 +1654,22 @@ def test_hashing_vectorizer_feeds_embedding_ops(ray_session):
     got = out["cluster"].to_numpy()
     assert (got[::2] == got[0]).all() and (got[1::2] == got[1]).all()
     assert got[0] != got[1]
+
+
+def test_token_budget_sample_null_weights_match_sql(ray_session):
+    """Null weights contribute 0 to the running sum and stay eligible —
+    exactly the SQL windowed-SUM semantics the docstring promises."""
+    import ray.data as rd
+
+    from rayhll.functions.sample import token_budget_sample
+
+    rows = [
+        {"doc_id": 0, "lang": "en", "n_tokens": 5},
+        {"doc_id": 1, "lang": "en", "n_tokens": None},
+        {"doc_id": 2, "lang": "en", "n_tokens": 5},
+        {"doc_id": 3, "lang": "en", "n_tokens": 5},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = token_budget_sample(ds, budgets=10, num_buckets=2).to_pandas()
+    # cum: 5, 5(null skipped), 10, 15 -> docs 0,1,2 kept
+    assert sorted(out["doc_id"]) == [0, 1, 2]

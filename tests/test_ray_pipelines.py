@@ -1673,3 +1673,43 @@ def test_token_budget_sample_null_weights_match_sql(ray_session):
     out = token_budget_sample(ds, budgets=10, num_buckets=2).to_pandas()
     # cum: 5, 5(null skipped), 10, 15 -> docs 0,1,2 kept
     assert sorted(out["doc_id"]) == [0, 1, 2]
+
+
+def test_hamming64_pairs_matches_brute_force(ray_session):
+    """Pigeonhole guarantee: for max_hamming <= 3 the distributed pairing
+    must find EXACTLY the brute-force pair set over random fingerprints
+    with planted near-neighbors."""
+    import itertools
+
+    import ray.data as rd
+
+    from rayhll.pipelines.dedup import hamming64_pairs
+
+    rng = np.random.default_rng(8)
+    hashes = rng.integers(0, 1 << 63, 300, dtype=np.int64)
+    # plant near-neighbors: ids 200+i = ids i with 1..3 bits flipped
+    for i in range(40):
+        flips = rng.choice(64, size=rng.integers(1, 4), replace=False)
+        v = int(hashes[i])
+        for b in flips:
+            v ^= 1 << int(b)
+        hashes[200 + i] = np.int64(np.uint64(v % (1 << 64)).astype(np.int64))
+    tbl = pa.table(
+        {"vid": pa.array(np.arange(300), type=pa.int64()),
+         "h64": pa.array(hashes, type=pa.int64())}
+    )
+    got = (
+        hamming64_pairs(rd.from_arrow(tbl).repartition(5), "vid", hash_col="h64",
+                        max_hamming=3, num_buckets=8)
+        .to_pandas()
+    )
+    got_set = set(map(tuple, got[["id_a", "id_b"]].values.tolist()))
+    u = hashes.view(np.uint64)
+    want = set()
+    for a, b in itertools.combinations(range(300), 2):
+        if bin(int(u[a]) ^ int(u[b])).count("1") <= 3:
+            want.add((a, b))
+    assert got_set == want and len(want) >= 40
+    # reported distances are exact
+    for r in got.itertuples():
+        assert bin(int(u[r.id_a]) ^ int(u[r.id_b])).count("1") == r.hamming

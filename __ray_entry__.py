@@ -1896,18 +1896,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM base b LEFT JOIN top USING(doc_id)"
         ),
         "pii_redact_documents": (
+            # staged CTEs mirror PiiRedact's count-on-progressively-redacted
+            # semantics: pattern i is counted on the text with patterns < i
+            # already replaced, so n_<name> == placeholders inserted
             "WITH aug AS (SELECT doc_id, text || ' contact user' || doc_id || "
-            "'@example.com or 10.1.' || (doc_id % 200) || '.7 ssn 123-45-6789' AS t "
-            "FROM documents) "
+            "'@example.com or 10.1.' || (doc_id % 200) || '.7 ssn 123-45-6789' AS t0 "
+            "FROM documents), "
+            "s1 AS (SELECT doc_id, t0, regexp_replace(t0, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1 FROM aug), "
+            "s2 AS (SELECT doc_id, t0, t1, regexp_replace(t1, "
+            "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') AS t2 FROM s1) "
             "SELECT doc_id, "
-            "CAST(length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, "
-            "CAST(length(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn, "
-            "CAST(length(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4, "
-            "regexp_replace(regexp_replace(regexp_replace(t, "
-            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
-            "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'), "
+            "CAST(length(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, "
+            "CAST(length(regexp_extract_all(t1, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn, "
+            "CAST(length(regexp_extract_all(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4, "
+            "regexp_replace(t2, "
             "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS text_redacted "
-            "FROM aug"
+            "FROM s2"
         ),
         "kmeans_embeddings": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, "

@@ -216,7 +216,11 @@ def token_budget_sample(
     a row is kept iff its cumulative weight INCLUDING itself fits.
 
     ``budgets`` is either one int for every group or a dict
-    ``{group: budget}`` (groups absent from the dict are dropped).
+    ``{group: budget}`` (groups absent from the dict are dropped).  A null
+    group key forms a group like any other (the repo-wide NULL convention):
+    int mode budgets it like every group, and dict mode honors an explicit
+    ``None`` key (absent ``None`` = nulls dropped, same as any absent
+    group).
 
     Shape: one bucketed shuffle of compact ``(id, group, weight)`` rows
     with each group fully co-located (the prefix is inherently sequential
@@ -252,8 +256,10 @@ def token_budget_sample(
         else:
             bdf = pl.DataFrame(
                 {group_col: list(table), "_budget": list(table.values())}
-            )
-            out = df.join(bdf, on=group_col, how="inner").filter(
+            ).with_columns(pl.col(group_col).cast(df[group_col].dtype))
+            # nulls_equal: a None dict key must budget the null group —
+            # without it the inner join silently drops null group keys
+            out = df.join(bdf, on=group_col, how="inner", nulls_equal=True).filter(
                 pl.col("_cum") <= pl.col("_budget")
             )
         return out.select([id_col, group_col, weight_col]).to_arrow()

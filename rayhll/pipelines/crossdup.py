@@ -43,7 +43,12 @@ def cross_doc_duplication(
     distinct grams, ``n_shared_grams`` of them appearing in at least one
     OTHER document, and their float64 ratio.  Documents shorter than
     ``gram`` tokens produce no grams and are omitted (mirror of the SQL
-    oracle's CTE semantics)."""
+    oracle's CTE semantics).
+
+    Input contract: ``id_col`` is UNIQUE (one row per document, like the
+    other per-document pipelines).  The in-map distinct-(doc, gram) dedup is
+    per batch, so a doc_id appearing in multiple rows would double-ship its
+    grams and inflate ``n_grams``/``n_shared_grams``."""
     from rayhll.functions.partitioning import resolve_num_buckets
 
     # the exchange carries ~distinct-grams-per-doc rows per input row

@@ -316,7 +316,11 @@ def kmeans_fit(
 
     Returns ``(centroids, inertia_history)`` where centroids are unit-norm
     ``(k, dim)`` and inertia is ``sum(1 - cos(vec, centroid))`` per
-    iteration (non-increasing modulo empty-cluster re-seeding).
+    iteration.  A cluster that receives no vectors is RE-SEEDED by splitting
+    the most populous cluster (:func:`_reseed_empty`: donor centroid plus a
+    tiny deterministic perturbation), so no centroid stays dead on skewed
+    data; inertia is non-increasing except on the iteration immediately
+    after a re-seed fires.
     """
     cent = train_centroids(ds, vec_col, k, sample_rows=init_sample, iters=3, seed=seed)
     k = len(cent)  # may be < requested when the sample is tiny
@@ -368,8 +372,27 @@ def kmeans_fit(
         nonempty = counts > 0
         cent = cent.copy()
         cent[nonempty] = sums[nonempty] / counts[nonempty, None]
-        cent = _normalize(cent)
+        cent = _reseed_empty(_normalize(cent), counts)
     return cent, history
+
+
+def _reseed_empty(cent: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Re-seed empty clusters by splitting the largest ones: an empty
+    centroid becomes the most populous donor's centroid plus a tiny
+    deterministic one-hot perturbation (re-normalized), so the next E-step
+    splits the donor's members instead of wasting k on a dead cluster.
+    Deterministic — no RNG (retry/resume safety, SURVEY §7.4)."""
+    empty = np.flatnonzero(counts == 0)
+    if not len(empty) or len(empty) == len(counts):
+        return cent
+    donors = np.argsort(-counts)[: max(len(counts) - len(empty), 1)]
+    cent = cent.copy()
+    for rank, e in enumerate(empty):
+        d = donors[rank % len(donors)]
+        nudged = cent[d].copy()
+        nudged[e % cent.shape[1]] += 1e-3
+        cent[e] = nudged
+    return _normalize(cent)
 
 
 def kmeans_assign(

@@ -168,7 +168,10 @@ def token_hash_stream(
         texts.to_frame("t").select(pl.col("t").str.extract_all(token_pattern))["t"]
     )
     lengths = toks.list.len().to_numpy().astype(np.int64)
-    flat = toks.explode().drop_nulls()
+    # empty_as_null pinned explicitly: empty token lists must vanish on
+    # explode (the polars<2.0 default turned them into null rows we then
+    # dropped — same stream, but implicit and deprecation-warned)
+    flat = toks.explode(empty_as_null=False)
     flat_h = (
         pl.DataFrame({"t": flat})
         .select(pl.col("t").hash(seed=77).alias("h"))["h"]
@@ -335,10 +338,14 @@ class PiiRedact:
 
     Appends ``n_<name>`` int64 match counts per pattern and
     ``text_redacted`` with every match replaced by its placeholder, in one
-    vectorized polars pass per batch.  Patterns are a shared lookaround-free
-    dialect, so the DuckDB oracle (``regexp_extract_all`` counts + nested
-    ``regexp_replace(..., 'g')`` in the same order) reproduces the output
-    byte-for-byte.
+    vectorized polars pass per batch.  Each pattern is counted on the
+    PROGRESSIVELY-REDACTED text (after every earlier pattern's replacement),
+    so ``n_<name>`` equals the number of ``[<NAME>]`` placeholders actually
+    inserted — a match nested inside an earlier pattern's span (e.g. the
+    digits of ``1.2.3.4@example.com``) is neither counted nor re-matched.
+    Patterns are a shared lookaround-free dialect, so the DuckDB oracle
+    (staged CTEs counting with ``regexp_extract_all`` before each
+    ``regexp_replace(..., 'g')``) reproduces the output byte-for-byte.
     """
 
     def __init__(
@@ -350,19 +357,22 @@ class PiiRedact:
         self.patterns = dict(patterns if patterns is not None else PII_PATTERNS)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch.select([self.text_col]))
-        t = pl.col(self.text_col)
-        exprs = [
-            t.str.count_matches(pat).cast(pl.Int64).alias(f"n_{name}")
-            for name, (pat, _) in self.patterns.items()
-        ]
-        red = t
-        for pat, repl in self.patterns.values():
-            red = red.str.replace_all(pat, repl)
-        exprs.append(red.alias("text_redacted"))
-        cols = df.select(exprs).to_arrow()
+        df = pl.from_arrow(batch.select([self.text_col])).rename(
+            {self.text_col: "text_redacted"}
+        )
+        for name, (pat, repl) in self.patterns.items():
+            # both exprs read the step's INPUT text: count pattern i on the
+            # text with patterns < i already redacted, then redact it
+            df = df.with_columns(
+                pl.col("text_redacted")
+                .str.count_matches(pat)
+                .cast(pl.Int64)
+                .alias(f"n_{name}"),
+                pl.col("text_redacted").str.replace_all(pat, repl),
+            )
+        cols = df.to_arrow()
         out = batch
-        for name in cols.column_names:
+        for name in [*(f"n_{n}" for n in self.patterns), "text_redacted"]:
             out = out.append_column(name, cols.column(name))
         return out
 

@@ -119,6 +119,23 @@ def test_curation_docs_by_lang_composition(entry):
     assert g["n_docs"].sum() < 500  # the filter/dedup really prune
 
 
+def test_pii_redact_documents_matches_duckdb(entry):
+    """PII counts-on-progressively-redacted-text semantics match the staged
+    CTE DuckDB mirror byte-for-byte (counts == placeholders inserted)."""
+    import duckdb
+    import pandas as pd
+
+    df = entry.queries()["pii_redact_documents"](SF).to_pandas()
+    want = duckdb.sql(entry.oracle_sql()["pii_redact_documents"].replace(
+        "documents", f"read_parquet('{SF}/documents.parquet')"
+    )).df()
+    cols = sorted(df.columns)
+    g = df[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    assert (g["n_email"] > 0).all()  # every augmented row has the planted email
+
+
 def test_token_counts_documents_matches_duckdb(entry):
     """Whitespace + BPE-ish token counts agree with DuckDB's RE2 on the
     same lookahead-free patterns, including unicode edge texts."""

@@ -1455,6 +1455,9 @@ def test_pii_redact_counts_and_text(ray_session):
         # email containing digits must be redacted as ONE email, and its
         # remnants must not be double-matched by the numeric patterns
         {"doc_id": 2, "text": "x 99.2@mail.example.com y"},
+        # an ipv4 NESTED inside an email span: counted on the progressively
+        # redacted text, so n_ipv4 must be 0 (no [IP] placeholder exists)
+        {"doc_id": 3, "text": "reach 1.2.3.4@example.com now"},
     ]
     out = (
         rd.from_arrow(pa.Table.from_pylist(rows))
@@ -1469,6 +1472,28 @@ def test_pii_redact_counts_and_text(ray_session):
     assert out.loc[1, "text_redacted"] == rows[1]["text"]
     assert out.loc[2, "n_email"] == 1 and out.loc[2, "n_ipv4"] == 0
     assert out.loc[2, "text_redacted"] == "x [EMAIL] y"
+    assert out.loc[3, ["n_email", "n_ssn", "n_ipv4"]].tolist() == [1, 0, 0]
+    assert out.loc[3, "text_redacted"] == "reach [EMAIL] now"
+
+
+def test_kmeans_reseed_empty_splits_largest():
+    """An empty cluster's centroid is replaced by a perturbed copy of the
+    most populous donor (unit-norm, distinct); non-empty centroids are
+    untouched; all-empty/none-empty inputs pass through unchanged."""
+    from rayhll.pipelines.similarity import _normalize, _reseed_empty
+
+    cent = _normalize(np.arange(1.0, 13.0).reshape(3, 4))
+    counts = np.array([500, 0, 20])
+    out = _reseed_empty(cent, counts)
+    assert np.allclose(out[0], cent[0]) and np.allclose(out[2], cent[2])
+    assert not np.allclose(out[1], cent[1])  # re-seeded
+    assert np.allclose(np.linalg.norm(out[1]), 1.0)
+    # near the donor (cluster 0, the largest) but not equal to it
+    assert out[1] @ cent[0] > 0.999 and not np.allclose(out[1], cent[0])
+    same = _reseed_empty(cent, np.array([5, 5, 5]))
+    assert np.allclose(same, cent)
+    degenerate = _reseed_empty(cent, np.zeros(3, dtype=np.int64))
+    assert np.allclose(degenerate, cent)  # nothing to donate from
 
 
 def test_kmeans_recovers_planted_clusters(ray_session):
@@ -1595,6 +1620,30 @@ def test_token_budget_sample_per_group_dict(ray_session):
     assert out[out.lang == "en"]["n_tokens"].tolist() == [5, 5]
     assert out[out.lang == "de"]["n_tokens"].tolist() == [9, 2]
     assert "xx" not in set(out.lang)
+
+
+def test_token_budget_sample_null_group_dict_mode(ray_session):
+    """A null group key is a group like any other: an explicit ``None`` dict
+    key budgets it, and omitting ``None`` drops it (same as any absent
+    group) — the repo-wide NULL-GROUP convention."""
+    import ray.data as rd
+
+    from rayhll.functions.sample import token_budget_sample
+
+    rows = [
+        {"doc_id": 0, "lang": None, "n_tokens": 4},
+        {"doc_id": 1, "lang": None, "n_tokens": 4},
+        {"doc_id": 2, "lang": None, "n_tokens": 4},
+        {"doc_id": 3, "lang": "en", "n_tokens": 4},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = token_budget_sample(ds, {None: 8, "en": 8}, num_buckets=2).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 3]  # null group budgeted at 8
+    out2 = token_budget_sample(ds, {"en": 8}, num_buckets=2).to_pandas()
+    assert sorted(out2["doc_id"]) == [3]  # absent None key -> nulls dropped
+    # int mode budgets the null group like every group
+    out3 = token_budget_sample(ds, budgets=8, num_buckets=2).to_pandas()
+    assert sorted(out3["doc_id"]) == [0, 1, 3]
 
 
 def test_video_perceptual_hash_pairs(ray_session):

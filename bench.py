@@ -100,13 +100,19 @@ def run_queries() -> tuple[dict, float, dict]:
         )
         return distinct.flagship_grouped(ds).materialize()
 
-    # q2: composite-key distinct on lineitem (column-pruned read)
+    # q2: composite-key distinct on lineitem (column-pruned read).  Driven
+    # through the same build+tree-merge path as approx_distinct() but
+    # returning the materialized merged Dataset so ds.stats() exists — an
+    # int return carried no stats and left the q2 digest null (BENCH_r04).
     def q2():
         ds = rd.read_parquet(
             os.path.join(SF_DIR, "lineitem.parquet"),
             columns=["l_orderkey", "l_linenumber"],
         )
-        return ray_agg.approx_distinct(ds, ["l_orderkey", "l_linenumber"])
+        partials = ray_agg.build_partials(ds, ["l_orderkey", "l_linenumber"])
+        merged = ray_agg.tree_merge(partials).materialize()
+        assert merged.take(1)[0][ray_agg.SKETCH_COL]  # same finalize touch
+        return merged
 
     # q3: grouped distinct users per event type
     def q3():

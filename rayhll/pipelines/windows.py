@@ -223,62 +223,160 @@ def session_windows(
     key_col: str,
     gap_us: int = US_PER_HOUR,
     num_buckets: int | None = None,
+    chunk_gaps: int = 256,
+    stats_out: dict | None = None,
 ):
     """Gap-based session windows per key: events of one key sorted by ts are
     split where the inter-event gap exceeds ``gap_us``.
 
     Returns a Dataset ``(key, session_start, session_end, n_events)``.
 
-    Shape: keys are co-located by hash bucket (``num_buckets`` reduce
-    tasks, thousands of keys each) and a bucket's sessions are computed in
-    ONE vectorized pass — a lexsort over (key hash, ts) and a combined
-    new-key-or-gap break mask — never a Python call per key (the r1 shape
-    was ``map_groups`` per key: correct, but a per-key Python invocation).
-    Partitioning assumption: one bucket's events fit in one reduce task;
-    raise ``num_buckets`` to shrink buckets.  Key identity within a bucket
-    uses the 64-bit key hash (same collision contract as the grouped
-    aggregation — stages/build.py).  ``num_buckets`` auto-sizes from the
-    event count when ``None`` (floor 256; ``functions.partitioning``)."""
-    from rayhll.functions.hashing import hash64_table
+    Shape — SKEW-SAFE boundary-merge (a hot key never lands whole in one
+    reduce task, the r4 VERDICT's named scale item):
+
+    1. events are co-located per ``(key, time-chunk)`` unit, where a chunk
+       spans ``chunk_gaps × gap_us`` (default 256 gaps); a hot key's events
+       spread across as many reduce tasks as it spans chunks.  A bucket's
+       session FRAGMENTS are computed in ONE vectorized pass — a lexsort
+       over (key hash, ts) and a combined new-unit-or-gap break mask —
+       never a Python call per key;
+    2. a fragment can only merge across a chunk boundary when it touches
+       one within ``gap_us`` (first event < chunk start + gap, or last
+       event within gap of chunk end) — interior fragments are provably
+       final and stream straight out; only the boundary-touching fragments
+       (≤ 2 per (key, chunk) + chain spans; session-sized rows, never
+       events) go through a tiny second merge reduce, a lexsort over
+       (key hash, start) with the same gap rule.
+
+    The fragment set is materialized once (compact session-sized rows) so
+    the final/candidate filters don't re-run the event shuffle.  Results
+    are byte-identical to single-task sessionization for any chunking.
+    Key identity uses the 64-bit key hash (the engine-wide collision
+    contract).  ``num_buckets`` auto-sizes from the event count when
+    ``None`` (floor 256; ``functions.partitioning``); a key whose events
+    all fall in one chunk degrades to the pre-r5 one-task-per-key-bucket
+    shape — lower ``chunk_gaps`` for bursty hot keys."""
+    import pyarrow.compute as _pc
+
+    from rayhll.functions.hashing import hash64_table, splitmix64
     from rayhll.functions.partitioning import resolve_num_buckets
 
     num_buckets = resolve_num_buckets(ds, num_buckets, floor=256)
+    chunk_us = int(chunk_gaps) * int(gap_us)
+    _G = np.uint64(0x9E3779B97F4A7C15)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         kh = hash64_table(batch, [key_col], seed=0x5E55)
-        batch = batch.append_column("_kh", pa.array(kh, type=pa.int64()))
-        return batch.append_column(
-            "_ub",
-            pa.array(
-                (kh.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64),
-                type=pa.int64(),
-            ),
+        us = batch.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy()
+        ck = us // chunk_us
+        ub = splitmix64(kh.view(np.uint64) + ck.view(np.uint64) * _G) % np.uint64(
+            num_buckets
         )
+        batch = batch.append_column("_kh", pa.array(kh, type=pa.int64()))
+        return batch.append_column("_ub", pa.array(ub.astype(np.int64), type=pa.int64()))
 
-    def sessions_bucket(tbl: pa.Table) -> pa.Table:
+    def fragments_bucket(tbl: pa.Table) -> pa.Table:
         us = tbl.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy()
         kh = tbl.column("_kh").to_numpy()
+        ck = us // chunk_us
         order = np.lexsort((us, kh))
-        k = kh[order]
-        t = us[order]
-        brk = np.r_[True, (k[1:] != k[:-1]) | ((t[1:] - t[:-1]) > gap_us)]
+        k, t, c = kh[order], us[order], ck[order]
+        brk = np.r_[
+            True, (k[1:] != k[:-1]) | (c[1:] != c[:-1]) | ((t[1:] - t[:-1]) > gap_us)
+        ]
         starts = np.flatnonzero(brk)
         ends = np.r_[starts[1:], len(t)]
-        keys = tbl.column(key_col).take(pa.array(order[starts]))
+        fs, fe = t[starts], t[ends - 1]
+        cs = c[starts] * chunk_us
+        cand = (fs - cs < gap_us) | (cs + chunk_us - fe <= gap_us)
         return pa.table(
             {
-                key_col: keys,
-                "session_start": pa.array(t[starts], type=pa.int64()).cast(pa.timestamp("us")),
-                "session_end": pa.array(t[ends - 1], type=pa.int64()).cast(pa.timestamp("us")),
+                key_col: tbl.column(key_col).take(pa.array(order[starts])),
+                "_kh": pa.array(k[starts], type=pa.int64()),
+                "_s": pa.array(fs, type=pa.int64()),
+                "_e": pa.array(fe, type=pa.int64()),
                 "n_events": pa.array((ends - starts).astype(np.int64), type=pa.int64()),
+                "_cand": pa.array(cand, type=pa.bool_()),
             }
         )
 
-    return (
+    def finish(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: tbl.column(key_col),
+                "session_start": tbl.column("_s").cast(pa.timestamp("us")),
+                "session_end": tbl.column("_e").cast(pa.timestamp("us")),
+                "n_events": tbl.column("n_events"),
+            }
+        )
+
+    fragments = (
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_ub")
-        .map_groups(sessions_bucket, batch_format="pyarrow")
+        .map_groups(fragments_bucket, batch_format="pyarrow")
+        .materialize()  # session-sized rows, never events
     )
+
+    merge_buckets = resolve_num_buckets(fragments, None, floor=64)
+    if stats_out is not None:  # tests/stress introspection of the split
+        import ray as _ray
+
+        n_cand = sum(
+            int(_pc.sum(t.column("_cand")).as_py() or 0)
+            for t in map(_ray.get, fragments.to_arrow_refs())
+            if "_cand" in t.column_names  # empty sort partitions are schema-less
+        )
+        stats_out.update(
+            n_fragments=fragments.count(),
+            n_candidates=n_cand,
+            merge_buckets=merge_buckets,
+        )
+
+    def route_candidates(tbl: pa.Table) -> pa.Table:
+        cand = tbl.column("_cand").combine_chunks()
+        out = tbl.filter(cand).drop_columns(["_cand"])
+        kh = out.column("_kh").to_numpy()
+        mb = (kh.view(np.uint64) % np.uint64(merge_buckets)).astype(np.int64)
+        return out.append_column("_mb", pa.array(mb, type=pa.int64()))
+
+    def merge_bucket(tbl: pa.Table) -> pa.Table:
+        kh = tbl.column("_kh").to_numpy()
+        s = tbl.column("_s").to_numpy()
+        e = tbl.column("_e").to_numpy()
+        n = tbl.column("n_events").to_numpy()
+        order = np.lexsort((s, kh))
+        k, so, eo, no = kh[order], s[order], e[order], n[order]
+        brk = np.r_[True, (k[1:] != k[:-1]) | ((so[1:] - eo[:-1]) > gap_us)]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(so)]
+        return pa.table(
+            {
+                key_col: tbl.column(key_col).take(pa.array(order[starts])),
+                "session_start": pa.array(so[starts], type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "session_end": pa.array(eo[ends - 1], type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_events": pa.array(
+                    np.add.reduceat(no, starts).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    final = fragments.map_batches(
+        lambda t: finish(t.filter(_pc.invert(t.column("_cand").combine_chunks()))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    merged = (
+        fragments.map_batches(
+            route_candidates, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("_mb")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
+    return final.union(merged)
 
 
 def heavy_hitters(

@@ -1622,6 +1622,72 @@ def test_token_budget_sample_per_group_dict(ray_session):
     assert "xx" not in set(out.lang)
 
 
+def test_token_budget_sample_skew_two_pass_exact(ray_session):
+    """One group owning 90% of the rows: the two-pass prefix must (a)
+    detect it as big, split it into id ranges and classify keep-all /
+    drop-all / boundary ranges, and (b) return EXACTLY the single-task
+    polars reference selection — including zero-weight rows at the budget
+    edge and a big group absent from a dict budget."""
+    import polars as pl
+    import ray.data as rd
+
+    from rayhll.functions.sample import token_budget_sample
+
+    rng = np.random.default_rng(42)
+    n_hot = 18_000
+    rows = {
+        "doc_id": np.arange(n_hot + 2_000, dtype=np.int64),
+        "lang": np.array(["hot"] * n_hot + ["a", "b"] * 1_000, dtype=object),
+        "n_tokens": rng.integers(0, 7, n_hot + 2_000).astype(np.int64),
+    }
+    # shuffle row order so ranges interleave across blocks
+    perm = rng.permutation(len(rows["doc_id"]))
+    tbl = pa.table({k: v[perm] for k, v in rows.items()})
+    ds = rd.from_arrow(tbl).repartition(16)
+
+    def reference(budgets):
+        df = pl.from_arrow(tbl).sort(["lang", "doc_id"]).with_columns(
+            pl.col("n_tokens").fill_null(0).cum_sum().over("lang").alias("_cum")
+        )
+        if isinstance(budgets, dict):
+            b = pl.DataFrame({"lang": list(budgets), "_b": list(budgets.values())})
+            df = df.join(b, on="lang", how="inner").filter(pl.col("_cum") <= pl.col("_b"))
+        else:
+            df = df.filter(pl.col("_cum") <= budgets)
+        return sorted(df["doc_id"].to_list())
+
+    kw = dict(
+        num_buckets=8,
+        target_rows_per_range=1_000,
+        max_ranges=8,
+        sample_min_rows_per_batch=8,
+    )
+    # int mode: hot group's budget lands mid-group -> keep-all ranges ahead
+    # of one boundary range, drop-all behind it
+    stats = {}
+    out = token_budget_sample(ds, budgets=20_000, stats_out=stats, **kw).to_pandas()
+    assert stats["n_big_groups"] == 1
+    assert max(stats["ranges_per_big_group"].values()) >= 4
+    assert stats["n_keep_all"] >= 1 and stats["n_drop_all"] >= 1
+    assert stats["n_boundary"] <= 1
+    assert sorted(out["doc_id"]) == reference(20_000)
+
+    # dict mode: hot group ABSENT from the dict -> all its ranges drop-all
+    stats2 = {}
+    out2 = token_budget_sample(
+        ds, budgets={"a": 1_500, "b": 40}, stats_out=stats2, **kw
+    ).to_pandas()
+    assert stats2["n_big_groups"] == 1 and stats2["n_keep_all"] == 0
+    assert stats2["n_drop_all"] >= 4
+    assert sorted(out2["doc_id"]) == reference({"a": 1_500, "b": 40})
+
+    # huge budget: every range of the hot group is keep-all (zero boundary)
+    stats3 = {}
+    out3 = token_budget_sample(ds, budgets=10**9, stats_out=stats3, **kw).to_pandas()
+    assert stats3["n_boundary"] == 0 and stats3["n_drop_all"] == 0
+    assert sorted(out3["doc_id"]) == reference(10**9)
+
+
 def test_token_budget_sample_null_group_dict_mode(ray_session):
     """A null group key is a group like any other: an explicit ``None`` dict
     key budgets it, and omitting ``None`` drops it (same as any absent

@@ -110,6 +110,65 @@ def test_session_windows_match_sql_windows(ray_session):
     assert got["n_events"].tolist() == want["n"].tolist()
 
 
+def test_session_windows_boundary_merge_hot_key(ray_session):
+    """Chunked sessionization must be byte-identical to single-task
+    sessionization when sessions CROSS chunk boundaries: a hot key with one
+    session chaining across many chunks, merge/no-merge edges exactly at
+    the gap, and interior sessions that never touch a boundary."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.pipelines import windows
+
+    gap = 100  # us; chunk = 4 * gap = 400
+    rows = []
+    # hot key: events every `gap` us for 40 chunks -> ONE session chaining
+    # across every chunk boundary (each fragment must merge)
+    for i in range(160):
+        rows.append(("hot", i * gap))
+    # edge key: session ends exactly gap before a chunk end, next event at
+    # the chunk start -> diff == gap -> MERGE; then a gap+1 split
+    rows += [("edge", 300), ("edge", 400), ("edge", 501), ("edge", 1500)]
+    # interior key: two sessions fully inside one chunk (never candidates)
+    rows += [("in", 150), ("in", 170), ("in", 281), ("in", 299)]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows]),
+            "ts": pa.array([r[1] for r in rows], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(8)
+    stats = {}
+    got = (
+        windows.session_windows(
+            ds, "ts", "user_id", gap_us=gap, num_buckets=8, chunk_gaps=4,
+            stats_out=stats,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    # the hot key really fragmented and chain-merged across chunks
+    assert stats["n_fragments"] >= 40
+    assert stats["n_candidates"] >= 40
+    sess = [
+        # pandas Timestamp.value is ns; events were authored in us
+        (r.user_id, r.session_start.value // 1000, r.session_end.value // 1000,
+         r.n_events)
+        for r in got.itertuples()
+    ]
+    assert sess == [
+        ("edge", 300, 400, 2),  # 400-300 == gap merges ACROSS the boundary
+        ("edge", 501, 501, 1),  # 501-400 == gap+1 splits within the chunk
+        ("edge", 1500, 1500, 1),
+        ("hot", 0, 159 * gap, 160),  # one session chained across 40 chunks
+        ("in", 150, 170, 2),
+        ("in", 281, 299, 2),
+    ]
+
+
 def test_heavy_hitters(ray_session):
     import ray.data as rd
 

@@ -1394,7 +1394,9 @@ def _q_decontam_documents(sf_dir: str):
         f"AS btext FROM read_parquet('{doc_path}') WHERE doc_id % 31 = 5"
     ).arrow().column("btext")
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = decontaminate(ds, bench_texts, gram=8, mode="annotate")
+    # num_shards=4: drive the range-partitioned sharded-broadcast path
+    # (one ray.put per shard) through the oracle gate
+    out = decontaminate(ds, bench_texts, gram=8, mode="annotate", num_shards=4)
     return out.select_columns(["doc_id", "n_gram_hits", "contaminated"])
 
 

@@ -1392,6 +1392,63 @@ def test_decontaminate_planted_overlap(ray_session):
     assert sorted(kept.columns) == ["doc_id", "text"]
 
 
+def test_decontaminate_sharded_equals_single(ray_session):
+    """Range-partitioned shards must (a) partition the gram set exactly
+    (disjoint, union == single array, sorted within shard, routed by top
+    bits) and (b) produce identical contamination columns through the
+    sharded broadcast path, including pre-built bench_shards refs."""
+    import ray
+    import ray.data as rd
+
+    from rayhll.pipelines.decontam import (
+        benchmark_gram_hashes,
+        benchmark_gram_shards,
+        decontaminate,
+    )
+
+    bench = [f"b{i} " + " ".join(f"w{i}_{j}" for j in range(12)) for i in range(40)]
+    single = benchmark_gram_hashes(bench, gram=8)
+    shards = benchmark_gram_shards(bench, num_shards=8, gram=8)
+    assert len(shards) == 8
+    assert np.array_equal(np.concatenate(shards), single)  # exact partition
+    shift = np.uint64(64 - 3)
+    for i, s in enumerate(shards):
+        assert np.all(s[:-1] <= s[1:])  # sorted within shard
+        assert np.all((s >> shift).astype(np.int64) == i)  # routed by top bits
+
+    rows = [{"doc_id": i, "text": bench[i % 40] + f" tail{i}"} for i in range(50)]
+    rows.append({"doc_id": 50, "text": "clean doc nothing shared at all here now"})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    base = (
+        decontaminate(ds, bench, gram=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    sharded = (
+        decontaminate(ds, bench, gram=8, num_shards=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    prebuilt = (
+        decontaminate(ds, bench_shards=[ray.put(s) for s in shards], gram=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert base["n_gram_hits"].tolist() == sharded["n_gram_hits"].tolist()
+    assert base["n_gram_hits"].tolist() == prebuilt["n_gram_hits"].tolist()
+    assert base["contaminated"].tolist() == sharded["contaminated"].tolist()
+    assert int(base.loc[50, "n_gram_hits"]) == 0
+    assert (base.loc[:49, "contaminated"]).all()
+
+    with pytest.raises(ValueError):
+        benchmark_gram_shards(bench, num_shards=3)
+    with pytest.raises(ValueError):
+        decontaminate(ds, bench, bench_shards=shards)
+
+
 def test_decontaminate_empty_bench_and_empty_corpus(ray_session):
     import ray.data as rd
 

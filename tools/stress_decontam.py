@@ -6,7 +6,16 @@ of the training docs, and measure docs/s through
 Checks exactness while it measures: every planted leak (and nothing else)
 must be flagged, with the predicted distinct-gram hit count.
 
-Usage: python tools/stress_decontam.py [n_docs] [n_bench] [num_cpus]
+With ``n_decoy_grams`` > 0 (r5, VERDICT item 4) the benchmark set is
+padded with that many synthetic decoy gram hashes (deterministic SplitMix64
+bijection of arange — disjoint from real text grams with probability
+1-2^-40ish) and shipped as 16 RANGE-PARTITIONED SHARDS, one ``ray.put``
+each — the sharded-broadcast path for bench sets past the single-object
+comfort zone.  Exactness must be unchanged and per-batch cost ~flat vs the
+small set (membership is one shift + per-shard searchsorted over disjoint
+subsets; only the log factor of shard size grows).
+
+Usage: python tools/stress_decontam.py [n_docs] [n_bench] [num_cpus] [n_decoy_grams]
 """
 import os
 import sys
@@ -21,6 +30,8 @@ import pyarrow as pa
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000
 NCPU = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+DECOY = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+NUM_SHARDS = 16
 GRAM = 8
 DOC_LEN = 80
 PREFIX = 24
@@ -61,7 +72,24 @@ bench = [" ".join(t.split(" ")[:PREFIX]) for t in _texts_for(np.arange(B, dtype=
 ds = rd.range(N).map_batches(gen, batch_format="pyarrow")
 
 t0 = time.perf_counter()
-out = decontaminate(ds, bench, gram=GRAM, mode="annotate")
+if DECOY:
+    from rayhll.pipelines.decontam import benchmark_gram_hashes
+
+    real = benchmark_gram_hashes(bench, gram=GRAM)
+    decoys = splitmix64(np.arange(DECOY, dtype=np.uint64) + np.uint64(0xDEC0))
+    grams = np.unique(np.concatenate([real, decoys]))
+    shift = np.uint64(64 - (NUM_SHARDS.bit_length() - 1))
+    edges = np.arange(1, NUM_SHARDS, dtype=np.uint64) << shift
+    shards = [ray.put(s) for s in np.split(grams, np.searchsorted(grams, edges))]
+    build_wall = time.perf_counter() - t0
+    print(
+        f"sharded bench: {len(grams):,} grams in {NUM_SHARDS} shards "
+        f"(max {max(len(ray.get(s)) for s in shards):,}/shard), built+put in {build_wall:.1f}s"
+    )
+    t0 = time.perf_counter()
+    out = decontaminate(ds, bench_shards=shards, gram=GRAM, mode="annotate")
+else:
+    out = decontaminate(ds, bench, gram=GRAM, mode="annotate")
 
 
 def keep_flagged(t: pa.Table) -> pa.Table:

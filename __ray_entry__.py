@@ -1132,10 +1132,12 @@ def _q_multimodal_decode_meta(sf_dir: str):
 
 def _q_multimodal_video_frames(sf_dir: str):
     """Frame-sampling stage over the synthetic asset table's videos with the
-    REAL raw-RGB24 decoder, ORACLE-GATED on the (asset_id, frame_idx) fan-out
-    surface: every video (asset_id % 3 == 2) decodes to >= 2 frames and
-    uniform sampling yields exactly frames 0..3 (one output row per frame,
-    each re-encoded as BMP)."""
+    REAL decoders — raw RGB24 and MJPEG payloads alternate, so half the
+    videos decode every frame through the full functions/jpeg.py codec —
+    ORACLE-GATED on the (asset_id, frame_idx) fan-out surface: every video
+    (asset_id % 3 == 2) decodes to >= 2 frames and uniform sampling yields
+    exactly frames 0..3 (one output row per frame, each re-encoded as
+    BMP)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd

@@ -229,6 +229,64 @@ def decode_rawvideo(data: bytes, width: int, height: int) -> np.ndarray:
 
 
 # ----------------------------------------------------------------------
+# MJPEG video: a raw .mjpeg byte stream — concatenated JPEG frames
+# (the classic webcam/security-camera interchange; reference container
+# semantics per the JPEG spec's standalone-stream usage).  Every frame
+# goes through the full functions/jpeg.py codec, so the video path
+# exercises a real COMPRESSED format end-to-end.
+
+
+def encode_mjpeg(frames: np.ndarray, quality: int = 85) -> bytes:
+    """Encode ``(n_frames, h, w, 3)`` uint8 as concatenated JPEG frames."""
+    from rayhll.functions.jpeg import encode_jpeg
+
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("encode_mjpeg expects (n, h, w, 3)")
+    return b"".join(encode_jpeg(f, quality=quality) for f in frames)
+
+
+def decode_mjpeg(data: bytes) -> np.ndarray:
+    """Decode a concatenated-JPEG stream -> ``(n_frames, h, w, 3)`` uint8.
+
+    Frames split on the EOI marker (FF D9): JPEG entropy data byte-stuffs
+    every FF (FF 00 / FF D0-D7 restarts), so an unescaped FF D9 is a
+    genuine frame end for streams without arbitrary-payload APPn/COM
+    segments (ours, and raw camera MJPEG).  All frames must share
+    dimensions; anything malformed raises ``ValueError``."""
+    from rayhll.functions.jpeg import decode_jpeg
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not an MJPEG stream (missing SOI)")
+    frames = []
+    pos = 0
+    while pos < len(data):
+        end = data.find(b"\xff\xd9", pos)
+        if end < 0:
+            break  # trailing partial frame dropped (decode_rawvideo parity)
+        img = decode_jpeg(data[pos : end + 2])
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        frames.append(img)
+        pos = end + 2
+    if not frames:
+        raise ValueError("no JPEG frames found")
+    if any(f.shape != frames[0].shape for f in frames[1:]):
+        raise ValueError("MJPEG frames disagree on dimensions")
+    return np.stack(frames)
+
+
+def decode_video(data: bytes, width: int = -1, height: int = -1) -> np.ndarray:
+    """Decode a video payload -> ``(n_frames, h, w, 3)`` uint8, sniffing
+    the container: an SOI prefix (FF D8) is MJPEG (self-describing — the
+    width/height hints are ignored), anything else is raw RGB24 (which
+    genuinely needs the dimension metadata)."""
+    if len(data) >= 2 and data[:2] == b"\xff\xd8":
+        return decode_mjpeg(data)
+    return decode_rawvideo(data, width, height)
+
+
+# ----------------------------------------------------------------------
 # shared helpers built on the decoders
 
 

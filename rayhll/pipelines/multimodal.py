@@ -6,8 +6,10 @@ columns alongside.  Three decoder modes:
 * ``decoder="numpy"`` (default) — REAL decoding in pure numpy/stdlib via
   :mod:`rayhll.functions.codecs` and :mod:`rayhll.functions.jpeg`: BMP /
   binary PPM-PGM / PNG / JPEG (baseline AND progressive) images, RIFF PCM
-  WAV audio, and concatenated-RGB24 raw video.  Decode, feature-extract, nearest-neighbor
-  resize and frame sampling all operate on actual pixels/samples.
+  WAV audio, and video as concatenated-RGB24 raw or MJPEG (concatenated
+  JPEG frames — a real compressed codec end-to-end).  Decode,
+  feature-extract, nearest-neighbor resize and frame sampling all operate
+  on actual pixels/samples.
 * ``decoder="fake"`` — deterministic features derived from the payload
   sha256; exercises the full data path for arbitrary (even compressed)
   payloads without codec libraries.
@@ -84,8 +86,11 @@ def _numpy_decode_one(media: str, payload: bytes, w: int, h: int):
             samples, rate = codecs.decode_wav(payload)
             return True, -1, -1, rate, int(round(len(samples) * 1000 / rate))
         if media == "video":
-            frames = codecs.decode_rawvideo(payload, w, h)
-            return len(frames) > 0, w, h, -1, len(frames) * 40  # 25 fps nominal
+            frames = codecs.decode_video(payload, w, h)
+            ok = len(frames) > 0
+            fw = frames.shape[2] if ok else w
+            fh = frames.shape[1] if ok else h
+            return ok, fw, fh, -1, len(frames) * 40  # 25 fps nominal
     except (ValueError, struct_error):
         pass
     return False, -1, -1, -1, -1
@@ -159,8 +164,10 @@ class PerceptualHashStage:
                 try:
                     if m == "image":
                         rgb = codecs.decode_image(p)
-                    elif m == "video" and ws is not None and hs is not None:
-                        frames = codecs.decode_rawvideo(p, int(ws[i]), int(hs[i]))
+                    elif m == "video":
+                        w = int(ws[i]) if ws is not None else -1
+                        h = int(hs[i]) if hs is not None else -1
+                        frames = codecs.decode_video(p, w, h)
                         if len(frames):
                             rgb = frames[len(frames) // 2]
                 except (ValueError, struct_error):
@@ -238,7 +245,7 @@ class FeatureExtractStage:
                 samples, _ = codecs.decode_wav(payload)
                 return codecs.audio_band_energy(samples, bands=self.dim)
             elif media == "video":
-                frames = codecs.decode_rawvideo(payload, w, h)
+                frames = codecs.decode_video(payload, w, h)
                 if len(frames) == 0:
                     return np.zeros(self.dim, dtype=np.float32)
                 rgb = frames[0]
@@ -334,7 +341,7 @@ class FrameSampleStage:
             p = p or b""
             if self.decoder == "numpy":
                 try:
-                    frames = codecs.decode_rawvideo(p, int(ws[i]), int(hs[i]))
+                    frames = codecs.decode_video(p, int(ws[i]), int(hs[i]))
                 except (ValueError, struct_error):
                     continue
                 if len(frames) == 0:
@@ -388,11 +395,12 @@ def synth_media_table(n: int, seed: int = 7) -> pa.Table:
     ``numpy`` decoder path: BMP/PPM/PNG/baseline-JPEG/progressive-JPEG
     images (rotating, so the oracle gate exercises all five encodings
     incl. the zlib inflate + unfilter path and both JPEG entropy
-    layouts), 16-bit PCM
-    WAVs, raw-RGB24 video.  Dim/rate metadata columns
-    intentionally hold -1 sentinels except video dims (which raw RGB24
-    genuinely needs) — DecodeStage must recover the true values from the
-    payloads."""
+    layouts), 16-bit PCM WAVs, and video alternating raw-RGB24 / MJPEG
+    (every MJPEG frame decodes through the full functions/jpeg.py codec).
+    Dim/rate metadata columns intentionally hold -1 sentinels except
+    raw-RGB24 video dims (which that container genuinely needs) —
+    DecodeStage must recover the true values from the payloads, including
+    MJPEG dims from the per-frame JPEG headers."""
     rng = np.random.default_rng(seed)
     ids, media, payloads, ws, hs, rates, durs = [], [], [], [], [], [], []
     from rayhll.functions.jpeg import encode_jpeg
@@ -427,8 +435,15 @@ def synth_media_table(n: int, seed: int = 7) -> pa.Table:
             w, h = 16, 12
             nf = int(rng.integers(2, 9))
             frames = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
-            payloads.append(codecs.encode_rawvideo(frames))
-            ws.append(w); hs.append(h); rates.append(-1); durs.append(-1)
+            if (i // 3) % 2:
+                # MJPEG (every frame through the full JPEG codec) —
+                # self-describing, so the dim metadata stays -1 sentinels
+                # and DecodeStage must recover w/h from the frame headers
+                payloads.append(codecs.encode_mjpeg(frames))
+                ws.append(-1); hs.append(-1); rates.append(-1); durs.append(-1)
+            else:
+                payloads.append(codecs.encode_rawvideo(frames))
+                ws.append(w); hs.append(h); rates.append(-1); durs.append(-1)
     return pa.table(
         {
             "asset_id": pa.array(ids, type=pa.int64()),

@@ -99,6 +99,35 @@ def test_rawvideo_roundtrip_and_partial_frame_drop():
     )
 
 
+def test_mjpeg_roundtrip_and_dispatch():
+    """MJPEG: concatenated JPEG frames split exactly on EOI, decode within
+    JPEG quantization error, self-describe their dims through
+    decode_video's sniffing, and reject malformed streams."""
+    # smooth gradient frames: high-quality JPEG stays within a tight bound
+    base = np.linspace(0, 200, 6 * 8 * 3).reshape(6, 8, 3)
+    frames = np.stack(
+        [np.clip(base + 10 * k, 0, 255).astype(np.uint8) for k in range(4)]
+    )
+    data = codecs.encode_mjpeg(frames, quality=95)
+    got = codecs.decode_mjpeg(data)
+    assert got.shape == frames.shape
+    assert np.max(np.abs(got.astype(int) - frames.astype(int))) <= 12
+    # container sniffing: SOI prefix -> MJPEG (dims hints ignored), else raw
+    np.testing.assert_array_equal(codecs.decode_video(data, -1, -1), got)
+    raw = codecs.encode_rawvideo(frames)
+    np.testing.assert_array_equal(codecs.decode_video(raw, 8, 6), frames)
+    # trailing partial frame dropped (rawvideo parity)
+    assert len(codecs.decode_mjpeg(data + data[: len(data) // 9])) == 4
+    with pytest.raises(ValueError):
+        codecs.decode_mjpeg(b"\x00\x01rubbish")
+    with pytest.raises(ValueError):  # frames disagreeing on dims
+        one = codecs.encode_mjpeg(frames[:1], quality=95)
+        other = codecs.encode_mjpeg(
+            np.zeros((1, 12, 4, 3), dtype=np.uint8), quality=95
+        )
+        codecs.decode_mjpeg(one + other)
+
+
 def test_resize_nearest_exact():
     img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
     half = codecs.resize_nearest(img, 2, 2)

@@ -1771,7 +1771,9 @@ def test_token_budget_sample_null_group_dict_mode(ray_session):
 
 def test_video_perceptual_hash_pairs(ray_session):
     """Videos hash their middle frame: two clips sharing the same middle
-    frame pair up; the audio row stays null and never pairs."""
+    frame pair up — raw-raw AND mjpeg-mjpeg (the compressed container
+    self-describes its dims, so its metadata stays -1); the audio row
+    stays null and never pairs."""
     import ray.data as rd
 
     from rayhll.functions import codecs
@@ -1779,11 +1781,11 @@ def test_video_perceptual_hash_pairs(ray_session):
 
     rng = np.random.default_rng(13)
     mid = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
-    def clip(seed):
+    def clip(seed, codec=codecs.encode_rawvideo):
         r = np.random.default_rng(seed)
         frames = r.integers(0, 256, (5, 12, 16, 3), dtype=np.uint8)
         frames[2] = mid
-        return codecs.encode_rawvideo(frames)
+        return codec(frames)
     rows = [
         {"asset_id": 0, "media_type": "video", "payload": clip(1), "width": 16, "height": 12},
         {"asset_id": 1, "media_type": "video", "payload": clip(2), "width": 16, "height": 12},
@@ -1793,10 +1795,18 @@ def test_video_perceptual_hash_pairs(ray_session):
         {"asset_id": 3, "media_type": "audio",
          "payload": codecs.encode_wav(np.zeros(64, dtype=np.int16), 8000),
          "width": -1, "height": -1},
+        # MJPEG twins: identical ENCODED middle frame -> identical decode ->
+        # identical dhash (JPEG loss is deterministic per encoded bytes)
+        {"asset_id": 4, "media_type": "video", "payload": clip(3, codecs.encode_mjpeg),
+         "width": -1, "height": -1},
+        {"asset_id": 5, "media_type": "video", "payload": clip(4, codecs.encode_mjpeg),
+         "width": -1, "height": -1},
     ]
     ds = rd.from_arrow(pa.Table.from_pylist(rows))
     pairs = image_near_dup_pairs(ds, max_hamming=3).to_pandas()
-    assert set(map(tuple, pairs[["id_a", "id_b"]].values.tolist())) == {(0, 1)}
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+    assert (0, 1) in got and (4, 5) in got
+    assert not any(2 in p or 3 in p for p in got)
 
 
 def test_hashing_vectorizer_feeds_embedding_ops(ray_session):

@@ -1769,18 +1769,37 @@ def _q_hashing_embed_documents(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the driver samples the FIRST 50 entries of this dict
+    # for its CORRECTNESS oracle run.  Queries that have never appeared in
+    # a driver correctness file (the 4 round-4 additions + the 8 sampled
+    # only in r3) come FIRST so round 5 hard-gates them; the 12 demoted
+    # past position 50 are all green in CORRECTNESS_r04.json and remain
+    # repo-gated by pytest mirrors (they cover machinery the promoted set
+    # also exercises: hex dump ~ hex_by_lang, count-min counts ~ heavy
+    # hitters, grouped sample ~ grouped top-k, ...).
     return {
+        # -- never driver-gated (r4 additions) ---------------------------
+        "decontam_documents": _q_decontam_documents,
+        "repetition_stats_documents": _q_repetition_stats_documents,
+        "pii_redact_documents": _q_pii_redact_documents,
+        "cross_doc_duplication": _q_cross_doc_duplication,
+        # -- last sampled in r3 ------------------------------------------
+        "window_sliding_distinct_users": _q_window_sliding_distinct_users,
+        "session_windows_events": _q_session_windows_events,
+        "window_tdigest_value_p50": _q_window_tdigest_value_p50,
+        "heavy_hitters_event_type": _q_heavy_hitters_event_type,
+        "tdigest_price_by_returnflag": _q_tdigest_price_by_returnflag,
+        "profile_lineitem_columns": _q_profile_lineitem_columns,
+        "users_overlap_click_purchase": _q_users_overlap_click_purchase,
+        "theta_users_overlap": _q_theta_users_overlap,
+        # -- green in CORRECTNESS_r04 ------------------------------------
         "hll_distinct_text": _q_distinct_text,
         "hll_distinct_text_by_lang": _q_distinct_text_by_lang,
         "hll_distinct_users_by_event_type": _q_distinct_users_by_event_type,
         "hll_distinct_orderkey": _q_distinct_orderkey,
-        "hll_distinct_orderkey_linenumber": _q_distinct_orderkey_linenumber,
-        "hll_distinct_custkey_by_orderstatus": _q_distinct_custkey_by_orderstatus,
         "sha256_invariant": _q_sha256_invariant,
         "flagship_code_global": _q_flagship_code_global,
-        "hll_estimate_text_probabilistic": _q_hll_estimate_text_probabilistic,
         "hll_sketch_hex_by_lang": _q_hll_sketch_hex_by_lang,
-        "hll_sketch_hex_dump": _q_hll_sketch_hex_dump,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "text_stats_documents": _q_text_stats_documents,
         "token_counts_documents": _q_token_counts_documents,
@@ -1789,49 +1808,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_click_purchase": _q_asof_join_click_purchase,
         "range_join_events_windows": _q_range_join_events_windows,
         "broadcast_join_lineitem_brand": _q_broadcast_join_lineitem_brand,
-        "curation_docs_by_lang": _q_curation_docs_by_lang,
         "curation_full_docs_by_lang": _q_curation_full_docs_by_lang,
         "fraction_sample_split_documents": _q_fraction_sample_split_documents,
         "token_budget_sample_documents": _q_token_budget_sample_documents,
         "hashing_embed_documents": _q_hashing_embed_documents,
         "grouped_top_k_orders": _q_grouped_top_k_orders,
-        "grouped_sample_documents": _q_grouped_sample_documents,
-        "countmin_event_type_counts": _q_countmin_event_type_counts,
-        "tdigest_price_quantiles": _q_tdigest_price_quantiles,
         "kll_event_value_quantiles": _q_kll_event_value_quantiles,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "ivf_topk_embeddings": _q_ivf_topk_embeddings,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
-        "minhash_exact_dup_pairs": _q_minhash_exact_dup_pairs,
         "minhash_dedup_checkpointed": _q_minhash_dedup_checkpointed,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "simhash_fingerprints": _q_simhash_fingerprints,
-        "simhash_dup_pairs_crafted": _q_simhash_dup_pairs_crafted,
         "fingerprint_invariants_crafted": _q_fingerprint_invariants_crafted,
         "lang_id_documents": _q_lang_id_documents,
-        "lang_id_accuracy_snippets": _q_lang_id_accuracy_snippets,
         "fingerprint_documents": _q_fingerprint_documents,
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode_meta": _q_multimodal_decode_meta,
         "multimodal_video_frames": _q_multimodal_video_frames,
-        "image_phash_crafted": _q_image_phash_crafted,
         "image_near_dup_pairs_crafted": _q_image_near_dup_pairs_crafted,
         "audio_spectral_crafted": _q_audio_spectral_crafted,
         "window_tumbling_distinct_users": _q_window_tumbling_distinct_users,
-        "window_sliding_distinct_users": _q_window_sliding_distinct_users,
-        "session_windows_events": _q_session_windows_events,
-        "window_tdigest_value_p50": _q_window_tdigest_value_p50,
-        "heavy_hitters_event_type": _q_heavy_hitters_event_type,
-        "tdigest_price_by_returnflag": _q_tdigest_price_by_returnflag,
-        "profile_lineitem_columns": _q_profile_lineitem_columns,
-        "decontam_documents": _q_decontam_documents,
-        "repetition_stats_documents": _q_repetition_stats_documents,
-        "cross_doc_duplication": _q_cross_doc_duplication,
-        "pii_redact_documents": _q_pii_redact_documents,
-        "users_overlap_click_purchase": _q_users_overlap_click_purchase,
-        "theta_users_overlap": _q_theta_users_overlap,
+        # -- past the 50-sample cut: r4-green, pytest-mirrored ------------
+        "hll_distinct_orderkey_linenumber": _q_distinct_orderkey_linenumber,
+        "hll_distinct_custkey_by_orderstatus": _q_distinct_custkey_by_orderstatus,
+        "hll_estimate_text_probabilistic": _q_hll_estimate_text_probabilistic,
+        "hll_sketch_hex_dump": _q_hll_sketch_hex_dump,
+        "curation_docs_by_lang": _q_curation_docs_by_lang,
+        "grouped_sample_documents": _q_grouped_sample_documents,
+        "countmin_event_type_counts": _q_countmin_event_type_counts,
+        "tdigest_price_quantiles": _q_tdigest_price_quantiles,
+        "minhash_exact_dup_pairs": _q_minhash_exact_dup_pairs,
+        "simhash_dup_pairs_crafted": _q_simhash_dup_pairs_crafted,
+        "lang_id_accuracy_snippets": _q_lang_id_accuracy_snippets,
+        "image_phash_crafted": _q_image_phash_crafted,
     }
 
 

@@ -119,6 +119,41 @@ def test_curation_docs_by_lang_composition(entry):
     assert g["n_docs"].sum() < 500  # the filter/dedup really prune
 
 
+def test_demoted_queries_match_oracle(entry):
+    """Every queries() entry past the driver's 50-query sample cut must
+    still match its oracle SQL — the registry reorder (round-5 item 1)
+    demotes only queries with r4 driver evidence, and this keeps them
+    hard-gated in-repo."""
+    import duckdb
+    import glob
+    import os
+
+    import pandas as pd
+    import pyarrow as pa_
+
+    q = entry.queries()
+    osql = entry.oracle_sql()
+    demoted = list(q)[50:]
+    assert demoted, "registry should exceed the 50-query driver sample"
+    con = duckdb.connect()
+    for p in glob.glob(f"{SF}/*.parquet"):
+        con.execute(
+            f"CREATE VIEW {os.path.basename(p)[:-8]} AS "
+            f"SELECT * FROM read_parquet('{p}')"
+        )
+    for name in demoted:
+        res = q[name](SF)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        if isinstance(res, pa_.Table):
+            df = res.to_pandas()
+        want = con.execute(osql[name]).df()
+        cols = sorted(df.columns)
+        assert cols == sorted(want.columns), name
+        g = df[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False, obj=name)
+
+
 def test_pii_redact_documents_matches_duckdb(entry):
     """PII counts-on-progressively-redacted-text semantics match the staged
     CTE DuckDB mirror byte-for-byte (counts == placeholders inserted)."""

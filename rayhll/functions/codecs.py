@@ -448,12 +448,14 @@ def sniff_media(data: bytes) -> str | None:
         return "jpeg"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode BMP, PPM/PGM, PNG or baseline JPEG to ``(h, w, 3)`` RGB
-    (gray broadcast, alpha dropped)."""
+    """Decode BMP, PPM/PGM, PNG, JPEG or lossless WebP (VP8L) to
+    ``(h, w, 3)`` RGB (gray broadcast, alpha dropped)."""
     kind = sniff_media(data)
     if kind == "bmp":
         return decode_bmp(data)
@@ -476,8 +478,13 @@ def decode_image(data: bytes) -> np.ndarray:
         if img.ndim == 2:
             img = np.repeat(img[:, :, None], 3, axis=2)
         return img
+    if kind == "webp":
+        from rayhll.functions.webp import decode_webp
+
+        return decode_webp(data)[:, :, :3]
     raise ValueError(
-        "unrecognized image container (expected BMP, binary netpbm, PNG, or JPEG)"
+        "unrecognized image container (expected BMP, binary netpbm, PNG, JPEG "
+        "or lossless WebP)"
     )
 
 

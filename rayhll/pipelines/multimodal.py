@@ -4,8 +4,9 @@ Images / audio / video are opaque ``binary`` columns with typed metadata
 columns alongside.  Three decoder modes:
 
 * ``decoder="numpy"`` (default) — REAL decoding in pure numpy/stdlib via
-  :mod:`rayhll.functions.codecs` and :mod:`rayhll.functions.jpeg`: BMP /
-  binary PPM-PGM / PNG / JPEG (baseline AND progressive) images, RIFF PCM
+  :mod:`rayhll.functions.codecs`, :mod:`rayhll.functions.jpeg` and
+  :mod:`rayhll.functions.webp`: BMP / binary PPM-PGM / PNG / JPEG
+  (baseline AND progressive) / lossless-WebP (VP8L) images, RIFF PCM
   WAV audio, and video as concatenated-RGB24 raw or MJPEG (concatenated
   JPEG frames — a real compressed codec end-to-end).  Decode,
   feature-extract, nearest-neighbor resize and frame sampling all operate
@@ -15,7 +16,7 @@ columns alongside.  Three decoder modes:
   payloads without codec libraries.
 * ``decoder="real"`` — raises ``NotImplementedError`` at the exact call
   site where a codec library (Pillow / libsndfile / pyav) would handle
-  the remaining compressed formats (WebP/AVIF/FLAC/H.264-class);
+  the remaining compressed formats (lossy-WebP/AVIF/FLAC/H.264-class);
   those libraries are not in this container.  Swap the marked function
   and everything else stands.
 
@@ -52,15 +53,17 @@ RECOMMENDED_BATCH_SIZE = 256
 
 def _real_decode_stub(media_type: str) -> None:
     # Compressed-format swap point: a deployment with codec libraries
-    # (Pillow for WebP/AVIF, soundfile for FLAC/MP3, pyav for video)
-    # decodes here.  BMP/PPM/WAV/rawvideo, PNG (stdlib zlib) AND JPEG
-    # (baseline + progressive, functions/jpeg.py) are handled for real by
+    # (Pillow for lossy-WebP/AVIF, soundfile for FLAC/MP3, pyav for
+    # video) decodes here.  BMP/PPM/WAV/rawvideo, PNG (stdlib zlib),
+    # JPEG (baseline + progressive, functions/jpeg.py), MJPEG video and
+    # lossless WebP (VP8L, functions/webp.py) are handled for real by
     # decoder="numpy".
     raise NotImplementedError(
-        f"real {media_type} decoding of WebP/AVIF/FLAC/MP3/H.264-class "
-        "formats requires a codec library not present in this environment; "
-        "use decoder='numpy' for BMP/PPM/PNG/JPEG/WAV/rawvideo or "
-        "decoder='fake' for the digest-feature path"
+        f"real {media_type} decoding of lossy-WebP/AVIF/FLAC/MP3/"
+        "H.264-class formats requires a codec library not present in this "
+        "environment; use decoder='numpy' for BMP/PPM/PNG/JPEG/"
+        "lossless-WebP/WAV/rawvideo/MJPEG or decoder='fake' for the "
+        "digest-feature path"
     )
 
 
@@ -392,10 +395,11 @@ def synth_asset_table(n: int, seed: int = 7) -> pa.Table:
 
 def synth_media_table(n: int, seed: int = 7) -> pa.Table:
     """Deterministic asset table of REAL decodable payloads for the
-    ``numpy`` decoder path: BMP/PPM/PNG/baseline-JPEG/progressive-JPEG
-    images (rotating, so the oracle gate exercises all five encodings
-    incl. the zlib inflate + unfilter path and both JPEG entropy
-    layouts), 16-bit PCM WAVs, and video alternating raw-RGB24 / MJPEG
+    ``numpy`` decoder path: BMP/PPM/PNG/baseline-JPEG/progressive-JPEG/
+    lossless-WebP images (rotating, so the oracle gate exercises all
+    seven encodings incl. the zlib inflate + unfilter path, both JPEG
+    entropy layouts, and the VP8L prefix-code/cache/transform paths),
+    16-bit PCM WAVs, and video alternating raw-RGB24 / MJPEG
     (every MJPEG frame decodes through the full functions/jpeg.py codec).
     Dim/rate metadata columns intentionally hold -1 sentinels except
     raw-RGB24 video dims (which that container genuinely needs) —
@@ -404,9 +408,13 @@ def synth_media_table(n: int, seed: int = 7) -> pa.Table:
     rng = np.random.default_rng(seed)
     ids, media, payloads, ws, hs, rates, durs = [], [], [], [], [], [], []
     from rayhll.functions.jpeg import encode_jpeg
+    from rayhll.functions.webp import encode_webp
 
     def encode_jpeg_progressive(img):
         return encode_jpeg(img, progressive=True)
+
+    def encode_webp_sg_cache(img):
+        return encode_webp(img, subtract_green=True, cache_bits=5)
 
     img_encoders = (
         codecs.encode_bmp,
@@ -414,6 +422,8 @@ def synth_media_table(n: int, seed: int = 7) -> pa.Table:
         codecs.encode_png,
         encode_jpeg,
         encode_jpeg_progressive,
+        encode_webp,
+        encode_webp_sg_cache,
     )
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]

@@ -1656,16 +1656,20 @@ def _q_image_near_dup_pairs_crafted(sf_dir: str):
 
 
 def _q_audio_spectral_crafted(sf_dir: str):
-    """Frequency-domain audio features over crafted WAV tones, ORACLE-GATED
-    on physics: a pure tone's spectral centroid must recover its frequency
-    within 1 Hz (Hann-windowed rfft), white noise must center near
-    rate/4 with high flatness, and a non-audio payload yields nulls.  The
-    SQL mirror enumerates the expected verdict rows."""
+    """Frequency-domain audio features over crafted tones — containers
+    rotating WAV / FLAC / FLAC-LPC / FLAC-Rice2 (FLAC is lossless, so the
+    physics contract is container-independent and the driver gate
+    exercises the full RFC 9639 decode path) — ORACLE-GATED on physics:
+    a pure tone's spectral centroid must recover its frequency within
+    1 Hz (Hann-windowed rfft), white noise must center near rate/4 with
+    high flatness, and a non-audio payload yields nulls.  The SQL mirror
+    enumerates the expected verdict rows."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
 
     from rayhll.functions import codecs
+    from rayhll.functions.flac import encode_flac
     from rayhll.pipelines.multimodal import SpectralFeatureStage
 
     rate = 16000
@@ -1673,10 +1677,16 @@ def _q_audio_spectral_crafted(sf_dir: str):
     rng = np.random.default_rng(17)
     rows = []
     freqs = [440.0, 1000.0, 2000.0, 3500.0]
+    encoders = [
+        lambda s: codecs.encode_wav(s, rate),
+        lambda s: encode_flac(s, rate),
+        lambda s: encode_flac(s, rate, use_lpc=True, lpc_order=8),
+        lambda s: encode_flac(s, rate, block_size=1024, partition_order=4),
+    ]
     for i, f0 in enumerate(freqs):
         tone = (np.sin(2 * np.pi * f0 * t) * 20000).astype(np.int16)
         rows.append(
-            {"asset_id": i, "media_type": "audio", "payload": codecs.encode_wav(tone, rate)}
+            {"asset_id": i, "media_type": "audio", "payload": encoders[i](tone)}
         )
     noise = (rng.standard_normal(rate) * 8000).astype(np.int16)
     rows.append({"asset_id": 10, "media_type": "audio", "payload": codecs.encode_wav(noise, rate)})

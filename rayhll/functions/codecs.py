@@ -450,6 +450,8 @@ def sniff_media(data: bytes) -> str | None:
         return "wav"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "webp"
+    if data[:4] == b"fLaC":
+        return "flac"
     return None
 
 
@@ -486,6 +488,17 @@ def decode_image(data: bytes) -> np.ndarray:
         "unrecognized image container (expected BMP, binary netpbm, PNG, JPEG "
         "or lossless WebP)"
     )
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a WAV or FLAC payload -> ``((n, channels) samples, rate)``,
+    sniffing the container (FLAC decodes through the full RFC 9639 codec
+    in :mod:`rayhll.functions.flac` — a real compressed format)."""
+    if data[:4] == b"fLaC":
+        from rayhll.functions.flac import decode_flac
+
+        return decode_flac(data)
+    return decode_wav(data)
 
 
 def resize_nearest(rgb: np.ndarray, target_w: int, target_h: int) -> np.ndarray:

@@ -4,11 +4,12 @@ Images / audio / video are opaque ``binary`` columns with typed metadata
 columns alongside.  Three decoder modes:
 
 * ``decoder="numpy"`` (default) — REAL decoding in pure numpy/stdlib via
-  :mod:`rayhll.functions.codecs`, :mod:`rayhll.functions.jpeg` and
-  :mod:`rayhll.functions.webp`: BMP / binary PPM-PGM / PNG / JPEG
-  (baseline AND progressive) / lossless-WebP (VP8L) images, RIFF PCM
-  WAV audio, and video as concatenated-RGB24 raw or MJPEG (concatenated
-  JPEG frames — a real compressed codec end-to-end).  Decode,
+  :mod:`rayhll.functions.codecs`, :mod:`rayhll.functions.jpeg`,
+  :mod:`rayhll.functions.webp` and :mod:`rayhll.functions.flac`: BMP /
+  binary PPM-PGM / PNG / JPEG (baseline AND progressive) / lossless-WebP
+  (VP8L) images, RIFF PCM WAV and FLAC (RFC 9639 — a real compressed
+  audio codec) audio, and video as concatenated-RGB24 raw or MJPEG
+  (concatenated JPEG frames — a real compressed video codec).  Decode,
   feature-extract, nearest-neighbor resize and frame sampling all operate
   on actual pixels/samples.
 * ``decoder="fake"`` — deterministic features derived from the payload
@@ -16,7 +17,7 @@ columns alongside.  Three decoder modes:
   payloads without codec libraries.
 * ``decoder="real"`` — raises ``NotImplementedError`` at the exact call
   site where a codec library (Pillow / libsndfile / pyav) would handle
-  the remaining compressed formats (lossy-WebP/AVIF/FLAC/H.264-class);
+  the remaining compressed formats (lossy-WebP/AVIF/MP3/H.264-class);
   those libraries are not in this container.  Swap the marked function
   and everything else stands.
 
@@ -53,16 +54,16 @@ RECOMMENDED_BATCH_SIZE = 256
 
 def _real_decode_stub(media_type: str) -> None:
     # Compressed-format swap point: a deployment with codec libraries
-    # (Pillow for lossy-WebP/AVIF, soundfile for FLAC/MP3, pyav for
-    # video) decodes here.  BMP/PPM/WAV/rawvideo, PNG (stdlib zlib),
-    # JPEG (baseline + progressive, functions/jpeg.py), MJPEG video and
-    # lossless WebP (VP8L, functions/webp.py) are handled for real by
-    # decoder="numpy".
+    # (Pillow for lossy-WebP/AVIF, soundfile for MP3, pyav for video)
+    # decodes here.  BMP/PPM/WAV/rawvideo, PNG (stdlib zlib), JPEG
+    # (baseline + progressive, functions/jpeg.py), MJPEG video, lossless
+    # WebP (VP8L, functions/webp.py) and FLAC (RFC 9639,
+    # functions/flac.py) are handled for real by decoder="numpy".
     raise NotImplementedError(
-        f"real {media_type} decoding of lossy-WebP/AVIF/FLAC/MP3/"
+        f"real {media_type} decoding of lossy-WebP/AVIF/MP3/"
         "H.264-class formats requires a codec library not present in this "
         "environment; use decoder='numpy' for BMP/PPM/PNG/JPEG/"
-        "lossless-WebP/WAV/rawvideo/MJPEG or decoder='fake' for the "
+        "lossless-WebP/WAV/FLAC/rawvideo/MJPEG or decoder='fake' for the "
         "digest-feature path"
     )
 
@@ -86,7 +87,7 @@ def _numpy_decode_one(media: str, payload: bytes, w: int, h: int):
             img = codecs.decode_image(payload)
             return True, img.shape[1], img.shape[0], -1, -1
         if media == "audio":
-            samples, rate = codecs.decode_wav(payload)
+            samples, rate = codecs.decode_audio(payload)
             return True, -1, -1, rate, int(round(len(samples) * 1000 / rate))
         if media == "video":
             frames = codecs.decode_video(payload, w, h)
@@ -208,7 +209,7 @@ class SpectralFeatureStage:
                 vecs.append(zero)
                 continue
             try:
-                samples, rate = codecs.decode_wav(p)
+                samples, rate = codecs.decode_audio(p)
             except (ValueError, struct_error):
                 cents.append(None); rolls.append(None); flats.append(None)
                 vecs.append(zero)
@@ -245,7 +246,7 @@ class FeatureExtractStage:
             if media == "image":
                 rgb = codecs.decode_image(payload)
             elif media == "audio":
-                samples, _ = codecs.decode_wav(payload)
+                samples, _ = codecs.decode_audio(payload)
                 return codecs.audio_band_energy(samples, bands=self.dim)
             elif media == "video":
                 frames = codecs.decode_video(payload, w, h)
@@ -399,14 +400,17 @@ def synth_media_table(n: int, seed: int = 7) -> pa.Table:
     lossless-WebP images (rotating, so the oracle gate exercises all
     seven encodings incl. the zlib inflate + unfilter path, both JPEG
     entropy layouts, and the VP8L prefix-code/cache/transform paths),
-    16-bit PCM WAVs, and video alternating raw-RGB24 / MJPEG
-    (every MJPEG frame decodes through the full functions/jpeg.py codec).
-    Dim/rate metadata columns intentionally hold -1 sentinels except
-    raw-RGB24 video dims (which that container genuinely needs) —
-    DecodeStage must recover the true values from the payloads, including
-    MJPEG dims from the per-frame JPEG headers."""
+    audio alternating 16-bit PCM WAV / FLAC (rotating fixed-predictor,
+    LPC and stereo-decorrelation modes through functions/flac.py), and
+    video alternating raw-RGB24 / MJPEG (every MJPEG frame decodes
+    through the full functions/jpeg.py codec).  Dim/rate metadata columns
+    intentionally hold -1 sentinels except raw-RGB24 video dims (which
+    that container genuinely needs) — DecodeStage must recover the true
+    values from the payloads, including MJPEG dims from the per-frame
+    JPEG headers and FLAC rates from STREAMINFO."""
     rng = np.random.default_rng(seed)
     ids, media, payloads, ws, hs, rates, durs = [], [], [], [], [], [], []
+    from rayhll.functions import flac
     from rayhll.functions.jpeg import encode_jpeg
     from rayhll.functions.webp import encode_webp
 
@@ -436,10 +440,30 @@ def synth_media_table(n: int, seed: int = 7) -> pa.Table:
             ws.append(-1); hs.append(-1); rates.append(-1); durs.append(-1)
         elif kind == "audio":
             rate = 8000
-            samples = (
-                rng.integers(-20000, 20000, size=int(rng.integers(100, 2000)))
-            ).astype(np.int16)
-            payloads.append(codecs.encode_wav(samples, rate))
+            n_s = int(rng.integers(100, 2000))
+            if (i // 3) % 4 == 3:
+                # stereo tone+noise: exercises FLAC stereo decorrelation
+                t = np.arange(n_s) / rate
+                left = np.sin(2 * np.pi * 440 * t) * 15000
+                right = left * 0.5 + rng.integers(-500, 500, size=n_s)
+                samples = np.stack([left, right], axis=1).astype(np.int16)
+            else:
+                samples = (
+                    rng.integers(-20000, 20000, size=n_s)
+                ).astype(np.int16)
+            variant = (i // 3) % 4
+            if variant == 0:
+                payloads.append(codecs.encode_wav(samples, rate))
+            elif variant == 1:
+                payloads.append(flac.encode_flac(samples, rate))
+            elif variant == 2:
+                payloads.append(
+                    flac.encode_flac(samples, rate, use_lpc=True, block_size=512)
+                )
+            else:
+                payloads.append(
+                    flac.encode_flac(samples, rate, stereo_mode="mid_side")
+                )
             ws.append(-1); hs.append(-1); rates.append(-1); durs.append(-1)
         else:
             w, h = 16, 12

@@ -1520,6 +1520,20 @@ def _q_kmeans_embeddings(sf_dir: str):
     )
 
 
+def _q_dup_span_documents(sf_dir: str):
+    """Exact cross-document duplicate-span detection (Lee et al. 2021
+    ExactSubstr at 8-token-gram granularity): maximal token spans whose
+    every 8-gram window appears in >= 2 distinct documents, via the
+    sharded-broadcast membership path (pass 1 finds the dup-gram set with
+    one bucketed exchange of distinct (gram, doc) pairs; pass 2 streams
+    the corpus once with zero shuffle).  ORACLE-GATED against the DuckDB
+    gaps-and-islands mirror (windows merge when they overlap or abut)."""
+    from rayhll.pipelines.spandedup import duplicate_spans
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicate_spans(ds, gram=8, method="broadcast", num_shards=2)
+
+
 def _q_cross_doc_duplication(sf_dir: str):
     """Cross-document duplicate-gram profile (RefinedWeb-style duplicate
     text fraction), ORACLE-GATED per document: distinct token 3-grams,
@@ -1788,11 +1802,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # also exercises: hex dump ~ hex_by_lang, count-min counts ~ heavy
     # hitters, grouped sample ~ grouped top-k, ...).
     return {
-        # -- never driver-gated (r4 additions) ---------------------------
+        # -- never driver-gated (r4 + r5 additions) ----------------------
         "decontam_documents": _q_decontam_documents,
         "repetition_stats_documents": _q_repetition_stats_documents,
         "pii_redact_documents": _q_pii_redact_documents,
         "cross_doc_duplication": _q_cross_doc_duplication,
+        "dup_span_documents": _q_dup_span_documents,
         # -- last sampled in r3 ------------------------------------------
         "window_sliding_distinct_users": _q_window_sliding_distinct_users,
         "session_windows_events": _q_session_windows_events,
@@ -1955,6 +1970,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams, "
             "SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) AS dup_frac "
             "FROM grams JOIN cnt USING(g) GROUP BY doc_id"
+        ),
+        "dup_span_documents": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t "
+            "FROM documents), "
+            "grams AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 8 + 2), "
+            "i -> array_to_string(t[i:i+7], chr(31)))) AS g, "
+            "unnest(range(1, len(t) - 8 + 2)) AS i FROM toks WHERE len(t) >= 8), "
+            "dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2), "
+            "marked AS (SELECT doc_id, i - 1 AS p FROM grams WHERE g IN (SELECT g FROM dup)), "
+            "brk AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER "
+            "(PARTITION BY doc_id ORDER BY p) <= 8 THEN 0 ELSE 1 END AS b FROM marked), "
+            "isl AS (SELECT doc_id, p, SUM(b) OVER (PARTITION BY doc_id ORDER BY p) "
+            "AS island FROM brk) "
+            "SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start, "
+            "CAST(MAX(p) + 8 AS BIGINT) AS span_end FROM isl GROUP BY doc_id, island"
         ),
         "token_budget_sample_documents": (
             "WITH s AS (SELECT doc_id, lang, "

@@ -1795,8 +1795,9 @@ def _q_hashing_embed_documents(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver samples the FIRST 50 entries of this dict
     # for its CORRECTNESS oracle run.  Queries that have never appeared in
-    # a driver correctness file (the 4 round-4 additions + the 8 sampled
-    # only in r3) come FIRST so round 5 hard-gates them; the 12 demoted
+    # a driver correctness file (the 4 round-4 additions, the r5
+    # dup_span_documents, + the 8 sampled only in r3) come FIRST so round
+    # 5 hard-gates them; the 13 demoted
     # past position 50 are all green in CORRECTNESS_r04.json and remain
     # repo-gated by pytest mirrors (they cover machinery the promoted set
     # also exercises: hex dump ~ hex_by_lang, count-min counts ~ heavy

@@ -145,12 +145,13 @@ class _BitReader:
     def read_rice(self, k: int, count: int) -> np.ndarray:
         """``count`` Rice(k) zigzag-folded values -> signed int64 array.
 
-        Unary terminators are located on the precomputed set-bit index:
-        ``T`` (terminator indices into ``ones``) starts at the lower bound
-        ``first + arange`` and iterates ``T <- searchsorted(ones,
-        prev_terminator + 1 + k)`` — monotone nondecreasing, elementwise
-        bounded by the unique true parse, so it converges; a sequential
-        pass guards pathological streams."""
+        Terminator j's index into ``ones`` obeys the chain ``u_{j+1} =
+        P(ones[u_j] + 1 + k)`` (P = ones-before, i.e. ``searchsorted``) —
+        inherently sequential, but P over the WHOLE touched region (at
+        most ``count*(1+k)`` set bits: one terminator plus <= k remainder
+        ones per value) is ONE vectorized ``searchsorted``; the chain walk
+        is then plain list indexing (~50 ns/value), and quotients +
+        remainders extract vectorized from the terminator positions."""
         if count == 0:
             return np.empty(0, dtype=np.int64)
         ones, pos = self.ones, self.pos
@@ -165,30 +166,24 @@ class _BitReader:
             u[1:] = np.diff(term) - 1
             self.pos = int(term[-1]) + 1
             return (u >> 1) ^ -(u & 1)
-        t_vec = i0 + np.arange(count, dtype=np.int64)
+        hi = min(len(ones), i0 + count * (1 + k))
+        if i0 >= len(ones):
+            raise ValueError("truncated FLAC stream")
+        nxt = np.searchsorted(ones, ones[i0:hi] + 1 + k).tolist()
+        term_idx = np.empty(count, dtype=np.int64)
+        t = i0
+        try:
+            for j in range(count):
+                term_idx[j] = t
+                t = nxt[t - i0]
+        except IndexError:
+            raise ValueError("truncated FLAC stream") from None
+        if t > len(ones) or term_idx[-1] >= len(ones):
+            raise ValueError("truncated FLAC stream")
+        term = ones[term_idx]
         starts = np.empty(count, dtype=np.int64)
         starts[0] = pos
-        converged = False
-        for _ in range(32):
-            if t_vec[-1] >= len(ones):
-                raise ValueError("truncated FLAC stream")
-            term = ones[t_vec]
-            starts[1:] = term[:-1] + 1 + k
-            t_new = np.searchsorted(ones, starts).astype(np.int64)
-            if np.array_equal(t_new, t_vec):
-                converged = True
-                break
-            t_vec = t_new
-        if not converged:  # pragma: no cover - adversarial fallback
-            p = pos
-            for i in range(count):
-                j = int(np.searchsorted(ones, p))
-                if j >= len(ones):
-                    raise ValueError("truncated FLAC stream")
-                starts[i] = p
-                t_vec[i] = j
-                p = int(ones[j]) + 1 + k
-            term = ones[t_vec]
+        starts[1:] = term[:-1] + 1 + k
         q = term - starts
         if int(term[-1]) + 1 + k > len(self.bits):
             raise ValueError("truncated FLAC stream")

@@ -1520,6 +1520,21 @@ def _q_kmeans_embeddings(sf_dir: str):
     )
 
 
+def _q_lm_score_documents(sf_dir: str):
+    """CCNet-style fluency scoring: per-document mean bigram
+    log-probability under a stupid-backoff count LM trained on the corpus
+    itself (pipelines/lm.py — one pre-aggregated counts exchange, then a
+    broadcast-table streaming score pass with zero shuffle).  Scores
+    round to 4 decimals so Ray's and DuckDB's float-aggregation orders
+    cannot flip the driver hash.  ORACLE-GATED against the exact-count
+    SQL mirror (every bigram is in-table for self-training, so the gate
+    pins the seen path; backoff is pytest-gated)."""
+    from rayhll.pipelines.lm import bigram_lm_score
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_lm_score(ds, round_to=4)
+
+
 def _q_dup_span_documents(sf_dir: str):
     """Exact cross-document duplicate-span detection (Lee et al. 2021
     ExactSubstr at 8-token-gram granularity): maximal token spans whose
@@ -1796,8 +1811,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver samples the FIRST 50 entries of this dict
     # for its CORRECTNESS oracle run.  Queries that have never appeared in
     # a driver correctness file (the 4 round-4 additions, the r5
-    # dup_span_documents, + the 8 sampled only in r3) come FIRST so round
-    # 5 hard-gates them; the 13 demoted
+    # dup_span_documents + lm_score_documents, + the 8 sampled only in
+    # r3) come FIRST so round 5 hard-gates them; the 14 demoted
     # past position 50 are all green in CORRECTNESS_r04.json and remain
     # repo-gated by pytest mirrors (they cover machinery the promoted set
     # also exercises: hex dump ~ hex_by_lang, count-min counts ~ heavy
@@ -1809,6 +1824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact_documents": _q_pii_redact_documents,
         "cross_doc_duplication": _q_cross_doc_duplication,
         "dup_span_documents": _q_dup_span_documents,
+        "lm_score_documents": _q_lm_score_documents,
         # -- last sampled in r3 ------------------------------------------
         "window_sliding_distinct_users": _q_window_sliding_distinct_users,
         "session_windows_events": _q_session_windows_events,
@@ -1971,6 +1987,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams, "
             "SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) AS dup_frac "
             "FROM grams JOIN cnt USING(g) GROUP BY doc_id"
+        ),
+        "lm_score_documents": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t "
+            "FROM documents), "
+            "big AS (SELECT doc_id, "
+            "unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], chr(31)))) AS bg, "
+            "unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1 "
+            "FROM toks WHERE len(t) >= 2), "
+            "uni AS (SELECT w, COUNT(*) AS c1 FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w), "
+            "bgc AS (SELECT bg, COUNT(*) AS c2 FROM big GROUP BY bg), "
+            "scored AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+            "ROUND(AVG(LN(c2 / CAST(c1 AS DOUBLE))), 4) AS score "
+            "FROM big JOIN bgc USING(bg) JOIN uni ON big.w1 = uni.w GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.score "
+            "FROM documents d LEFT JOIN scored s USING(doc_id)"
         ),
         "dup_span_documents": (
             "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t "

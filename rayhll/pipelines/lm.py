@@ -40,6 +40,7 @@ import ray
 
 from rayhll.functions.hashing import splitmix64
 from rayhll.pipelines.text import TOKEN_PATTERN, token_hash_stream
+from rayhll.sketches.countmin import CountMinSketch
 
 __all__ = ["bigram_lm_score"]
 
@@ -153,22 +154,59 @@ def _count_tables(
     return (*out, total_tokens)
 
 
+class _DualCountMin:
+    """Unigram + bigram count-min pair, duck-typed for
+    :func:`rayhll.ray_agg.aggregate_family` (merge/to_bytes/from_bytes) —
+    ONE corpus pass builds both tables.  ``uni.total`` carries the exact
+    token count (count-min adds are exact in total mass)."""
+
+    def __init__(self, depth: int, width: int, seed: int = 99):
+        self.uni = CountMinSketch(depth, width, seed)
+        self.bi = CountMinSketch(depth, width, seed + 131)
+
+    def merge(self, other: "_DualCountMin") -> None:
+        self.uni.merge(other.uni)
+        self.bi.merge(other.bi)
+
+    def to_bytes(self) -> bytes:
+        u = self.uni.to_bytes()
+        return len(u).to_bytes(4, "little") + u + self.bi.to_bytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "_DualCountMin":
+        data = bytes(data)
+        n = int.from_bytes(data[:4], "little")
+        obj = cls.__new__(cls)
+        obj.uni = CountMinSketch.from_bytes(data[4 : 4 + n])
+        obj.bi = CountMinSketch.from_bytes(data[4 + n :])
+        return obj
+
+
 class _LmScoreStage:
     """Actor-pool score pass: broadcast tables ``ray.get`` once per actor;
     each batch is one token-hash kernel + two vectorized table lookups +
     a per-doc ``reduceat`` mean.  Stupid backoff for unseen bigrams."""
 
-    def __init__(self, refs, text_col, id_col, token_pattern, backoff, round_to):
-        self.uni_h, self.uni_c, self.bi_h, self.bi_c, self.total = [
-            ray.get(r) for r in refs
-        ]
+    def __init__(
+        self, refs, mode, text_col, id_col, token_pattern, backoff, round_to
+    ):
+        self.mode = mode
+        if mode == "exact":
+            self.uni_h, self.uni_c, self.bi_h, self.bi_c, self.total = [
+                ray.get(r) for r in refs
+            ]
+        else:
+            dual = _DualCountMin.from_bytes(ray.get(refs[0]))
+            self.uni_cm, self.bi_cm = dual.uni, dual.bi
+            self.total = dual.uni.total
         self.text_col = text_col
         self.id_col = id_col
         self.token_pattern = token_pattern
         self.backoff = backoff
         self.round_to = round_to
 
-    def _lookup(self, table_h, table_c, h):
+    @staticmethod
+    def _lookup(table_h, table_c, h):
         if not len(table_h):
             return np.zeros(len(h), dtype=np.int64)
         idx = np.searchsorted(table_h, h)
@@ -177,13 +215,23 @@ class _LmScoreStage:
         cnt[table_h[idx] != h] = 0
         return cnt
 
+    def _c_uni(self, h):
+        if self.mode == "exact":
+            return self._lookup(self.uni_h, self.uni_c, h)
+        return self.uni_cm.estimate_batch(h.view(np.int64))
+
+    def _c_bi(self, h):
+        if self.mode == "exact":
+            return self._lookup(self.bi_h, self.bi_c, h)
+        return self.bi_cm.estimate_batch(h.view(np.int64))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = pl.from_arrow(batch.column(self.text_col).combine_chunks())
         lengths, flat_h = token_hash_stream(texts, self.token_pattern)
         valid, w1, w2, big = _bigram_stream(lengths, flat_h)
-        c2 = self._lookup(self.bi_h, self.bi_c, big)
-        c1 = self._lookup(self.uni_h, self.uni_c, w1)
-        cw2 = self._lookup(self.uni_h, self.uni_c, w2)
+        c2 = self._c_bi(big)
+        c1 = self._c_uni(w1)
+        cw2 = self._c_uni(w2)
         seen = (c2 > 0) & (c1 > 0)
         logp = np.empty(len(big), dtype=np.float64)
         logp[seen] = np.log(c2[seen] / c1[seen])
@@ -217,9 +265,12 @@ def bigram_lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     token_pattern: str = TOKEN_PATTERN,
+    table_mode: str = "exact",
     num_buckets: int | None = None,
     max_table_entries: int = MAX_TABLE_ENTRIES,
     min_count: int = 1,
+    cm_depth: int = 4,
+    cm_width: int = 1 << 18,
     backoff: float = 0.4,
     round_to: int | None = None,
     concurrency=None,
@@ -230,26 +281,50 @@ def bigram_lm_score(
     Returns a Dataset of ``(id_col, n_bigrams, score)`` rows; documents
     with fewer than two tokens get ``n_bigrams = 0`` and a null score.
     ``round_to`` rounds the score (the driver oracle uses 4 so the
-    float-aggregation order of Ray and DuckDB cannot flip the hash);
-    ``min_count`` prunes rare table entries into the backoff path for
-    corpora whose exact bigram table exceeds the broadcast cap (the
-    backoff denominator N then measures the RETAINED unigram mass — a
-    consistent model, not the raw token count)."""
-    tables = _count_tables(
-        train_ds if train_ds is not None else ds,
-        text_col,
-        token_pattern,
-        num_buckets,
-        max_table_entries,
-        min_count,
-    )
-    refs = [ray.put(t) for t in tables]
+    float-aggregation order of Ray and DuckDB cannot flip the hash).
+
+    ``table_mode="exact"`` builds exact count tables (one bucketed
+    exchange of in-map pre-aggregated partials, bounded driver collection;
+    ``min_count`` prunes rare entries into the backoff path — the backoff
+    denominator N then measures the RETAINED unigram mass, a consistent
+    model).  ``table_mode="sketch"`` is the 100-TB shape: per-block dual
+    count-min sketches tree-merged by ``aggregate_family`` — the
+    per-block partial is FIXED-SIZE (2 x depth x width counters)
+    regardless of corpus cardinality, no corpus-scale counts exchange and
+    no driver cap; counts become one-sided overestimates (eps = e/width
+    of total mass per table, the count-min contract), exact-equal to the
+    exact tables whenever the sketch is collision-free."""
+    train = train_ds if train_ds is not None else ds
+    if table_mode == "exact":
+        tables = _count_tables(
+            train, text_col, token_pattern, num_buckets, max_table_entries,
+            min_count,
+        )
+        refs = [ray.put(t) for t in tables]
+    elif table_mode == "sketch":
+        from rayhll.ray_agg import aggregate_family
+
+        def build(batch: pa.Table) -> bytes:
+            texts = pl.from_arrow(batch.column(text_col).combine_chunks())
+            lengths, flat_h = token_hash_stream(texts, token_pattern)
+            _, _, _, big = _bigram_stream(lengths, flat_h)
+            dual = _DualCountMin(cm_depth, cm_width)
+            dual.uni.add_batch(flat_h.view(np.int64))
+            dual.bi.add_batch(big.view(np.int64))
+            return dual.to_bytes()
+
+        dual = aggregate_family(train, build, _DualCountMin)
+        refs = [ray.put(dual.to_bytes())]
+    else:
+        raise ValueError(f"unknown table_mode {table_mode!r}")
     if concurrency is None:
         concurrency = (1, max(8, int(ray.cluster_resources().get("CPU", 8))))
     return ds.map_batches(
         _LmScoreStage,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_constructor_args=(refs, text_col, id_col, token_pattern, backoff, round_to),
+        fn_constructor_args=(
+            refs, table_mode, text_col, id_col, token_pattern, backoff, round_to
+        ),
         concurrency=concurrency,
     )

@@ -120,6 +120,35 @@ def test_table_cap_raises(ray_session):
         _run(CORPUS, max_table_entries=3)
 
 
+def test_sketch_mode_matches_exact_when_collision_free(ray_session):
+    """table_mode='sketch' (dual count-min, the 100-TB shape) reproduces
+    the exact scores bit-for-bit when the sketch width dwarfs the distinct
+    gram count (count-min is exact without collisions)."""
+    ex = _run(CORPUS, round_to=None)
+    sk = _run(CORPUS, table_mode="sketch", cm_width=1 << 16, round_to=None)
+    assert ex["n_bigrams"].tolist() == sk["n_bigrams"].tolist()
+    for a, b in zip(ex["score"], sk["score"]):
+        assert (np.isnan(a) and np.isnan(b)) or a == b
+
+
+def test_sketch_mode_collision_heavy_stays_sane(ray_session):
+    """A deliberately tiny sketch (width 64 over a 50-word vocabulary)
+    still yields finite scores for every scoreable doc — collisions only
+    inflate counts (count-min overestimates), never zero them out."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, size=20)) for _ in range(100)]
+    sk = _run(texts, table_mode="sketch", cm_width=64, cm_depth=2)
+    assert sk["score"].notna().all() and np.isfinite(sk["score"]).all()
+    ex = _run(texts)
+    assert sk["n_bigrams"].tolist() == ex["n_bigrams"].tolist()
+
+
+def test_unknown_table_mode_raises(ray_session):
+    with pytest.raises(ValueError, match="table_mode"):
+        _run(CORPUS, table_mode="bogus")
+
+
 def test_bigram_hash_matches_shared_kernel():
     from rayhll.pipelines.text import gram_hashes_from_stream, token_hash_stream
 

@@ -44,6 +44,7 @@ builder-brief training-data-pipeline requirement.
 
 from __future__ import annotations
 
+import re
 import warnings
 
 import numpy as np
@@ -55,7 +56,7 @@ from rayhll.functions.hashing import splitmix64
 from rayhll.pipelines.decontam import _is_hit, _shard_shift
 from rayhll.pipelines.text import TOKEN_PATTERN, token_gram_hashes
 
-__all__ = ["duplicate_spans"]
+__all__ = ["duplicate_spans", "cut_spans"]
 
 #: driver-side collection bound for the broadcast method's dup-gram set
 #: (8 B/gram -> ~256 MB of object store at the cap)
@@ -311,4 +312,111 @@ def duplicate_spans(
     )
     return marked.groupby("_dbucket").map_groups(
         merge_bucket, batch_format="pyarrow"
+    )
+
+
+class _CutStage:
+    """Actor-pool span application: the (sparse, by the dedup contract)
+    span table broadcasts as CSR arrays ``ray.get`` once per actor; docs
+    WITHOUT spans pass through byte-identical with zero per-row work, and
+    only spanned docs pay a per-doc regex re-tokenization to map token
+    spans to char offsets (a bounded loop over the sparse hit set)."""
+
+    def __init__(self, refs, text_col, id_col, token_pattern):
+        self.ids, self.offsets, self.starts, self.ends = [ray.get(r) for r in refs]
+        self.text_col = text_col
+        self.id_col = id_col
+        self.pattern = re.compile(token_pattern)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy()
+        n_cut = np.zeros(len(ids), dtype=np.int64)
+        if len(self.ids):
+            idx = np.searchsorted(self.ids, ids)
+            idx_c = np.minimum(idx, len(self.ids) - 1)
+            has = self.ids[idx_c] == ids
+        else:
+            has = np.zeros(len(ids), dtype=bool)
+        if not has.any():
+            return batch.append_column("n_cut_tokens", pa.array(n_cut))
+        texts = batch.column(self.text_col).to_pylist()
+        for i in np.flatnonzero(has):
+            t = texts[i] or ""
+            toks = list(self.pattern.finditer(t))
+            j0 = int(self.offsets[idx[i]])
+            j1 = int(self.offsets[idx[i] + 1])
+            pieces, prev, cut = [], 0, 0
+            for s, e in zip(self.starts[j0:j1], self.ends[j0:j1]):
+                s, e = int(s), min(int(e), len(toks))
+                if s >= len(toks) or e <= s:
+                    continue
+                # cut the span's tokens plus the trailing inter-token gap
+                # (up to the next kept token), so splices never leave a
+                # doubled separator; a span ending at the last token cuts
+                # to that token's end, preserving any trailing text
+                cs = toks[s].start()
+                ce = toks[e].start() if e < len(toks) else toks[e - 1].end()
+                pieces.append(t[prev:cs])
+                prev = ce
+                cut += e - s
+            pieces.append(t[prev:])
+            texts[i] = "".join(pieces)
+            n_cut[i] = cut
+        col_idx = batch.schema.get_field_index(self.text_col)
+        out = batch.set_column(
+            col_idx, self.text_col, pa.array(texts, type=pa.string())
+        )
+        return out.append_column("n_cut_tokens", pa.array(n_cut))
+
+
+def cut_spans(
+    ds,
+    spans,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_pattern: str = TOKEN_PATTERN,
+    max_broadcast_spans: int = MAX_BROADCAST_GRAMS,
+    concurrency=None,
+):
+    """Apply a :func:`duplicate_spans` table to the corpus: remove each
+    ``[span_start, span_end)`` token range from its document's text (the
+    ExactSubstr CUT policy).  Returns the input dataset with ``text_col``
+    spliced and an ``n_cut_tokens`` column appended; documents without
+    spans pass through byte-identical.
+
+    ``token_pattern`` MUST match the one the spans were computed with —
+    token indices are mapped back to char offsets by re-tokenizing only
+    the (sparse) spanned documents.  The span table is collected
+    driver-side (BOUNDED by ``max_broadcast_spans`` — spans are sparse by
+    the dedup contract) and broadcast once as CSR arrays."""
+    mat = spans.materialize()
+    n = mat.count()
+    if n > max_broadcast_spans:
+        raise ValueError(
+            f"span table has {n} rows > max_broadcast_spans="
+            f"{max_broadcast_spans}; cut in id-partitioned batches or raise "
+            "the cap"
+        )
+    if n:
+        df = mat.to_pandas()
+        d = df[id_col].to_numpy()
+        s = df["span_start"].to_numpy()
+        e = df["span_end"].to_numpy()
+        order = np.lexsort((s, d))
+        d, s, e = d[order], s[order], e[order]
+        uids, first = np.unique(d, return_index=True)
+        offsets = np.concatenate((first, [len(d)])).astype(np.int64)
+    else:
+        uids = np.empty(0, dtype=np.int64)
+        offsets = np.zeros(1, dtype=np.int64)
+        s = e = np.empty(0, dtype=np.int64)
+    refs = [ray.put(a) for a in (uids, offsets, s, e)]
+    if concurrency is None:
+        concurrency = (1, max(8, int(ray.cluster_resources().get("CPU", 8))))
+    return ds.map_batches(
+        _CutStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_constructor_args=(refs, text_col, id_col, token_pattern),
+        concurrency=concurrency,
     )

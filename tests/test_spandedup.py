@@ -155,6 +155,75 @@ def test_short_and_null_texts(ray_session):
     assert _spans(ds, method="join") == [(3, 0, 12), (4, 0, 12)]
 
 
+def test_cut_spans_exact_splice(ray_session):
+    """cut_spans removes exactly the span tokens plus the trailing
+    inter-token gap; docs without spans (incl. null) pass byte-identical."""
+    from rayhll.pipelines.spandedup import cut_spans, duplicate_spans
+
+    ds = _corpus(
+        [
+            {"doc_id": 1, "text": "alpha beta " + SHARED + " gamma delta"},
+            {"doc_id": 2, "text": "one two three four five six seven eight " + SHARED},
+            {"doc_id": 3, "text": "untouched  doc   with-weird spacing"},
+            {"doc_id": 4, "text": None},
+        ]
+    )
+    spans = duplicate_spans(ds, gram=GRAM)
+    out = (
+        cut_spans(ds, spans)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 1: tokens [2,14) cut -> "alpha beta " + "gamma delta"
+    assert out.loc[1, "text"] == "alpha beta gamma delta"
+    assert out.loc[1, "n_cut_tokens"] == 12
+    # doc 2's span reaches the last token: cut to that token's end
+    assert out.loc[2, "text"] == "one two three four five six seven eight "
+    assert out.loc[2, "n_cut_tokens"] == 12
+    assert out.loc[3, "text"] == "untouched  doc   with-weird spacing"
+    assert out.loc[4, "text"] is None or pd_isna(out.loc[4, "text"])
+    assert out.loc[3, "n_cut_tokens"] == 0 and out.loc[4, "n_cut_tokens"] == 0
+
+
+def pd_isna(v):
+    import pandas as pd
+
+    return pd.isna(v)
+
+
+def test_cut_spans_multiple_and_rerun_clean(ray_session):
+    """Multiple spans per doc splice independently, and re-running
+    duplicate_spans on the cut corpus finds nothing (guarded runs)."""
+    from rayhll.pipelines.spandedup import cut_spans, duplicate_spans
+
+    run_a = " ".join(f"aa{i}" for i in range(10))
+    run_b = " ".join(f"bb{i}" for i in range(10))
+    rows = [
+        {"doc_id": 1, "text": run_a + " SEPONE " + run_b + " tailone"},
+        {"doc_id": 3, "text": run_a + " SEPTHREE " + run_b + " tailthree"},
+    ]
+    ds = _corpus(rows)
+    spans = duplicate_spans(ds, gram=GRAM)
+    out = cut_spans(ds, spans).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "text"] == "SEPONE tailone"
+    assert out.loc[3, "text"] == "SEPTHREE tailthree"
+    assert out.loc[1, "n_cut_tokens"] == 20
+    cut_ds = _corpus(
+        [{"doc_id": int(i), "text": t} for i, t in out["text"].items()]
+    )
+    assert len(duplicate_spans(cut_ds, gram=GRAM).to_pandas()) == 0
+
+
+def test_cut_spans_cap_raises(ray_session):
+    from rayhll.pipelines.spandedup import cut_spans, duplicate_spans
+
+    ds = _corpus(_template_corpus(100))
+    spans = duplicate_spans(ds, gram=GRAM)
+    with pytest.raises(ValueError, match="max_broadcast_spans"):
+        cut_spans(ds, spans, max_broadcast_spans=1).to_pandas()
+
+
 def test_merge_spans_kernel():
     doc = np.array([1, 1, 1, 1, 2], dtype=np.int64)
     pos = np.array([0, 3, 20, 28, 5], dtype=np.int64)

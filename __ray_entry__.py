@@ -1520,6 +1520,20 @@ def _q_kmeans_embeddings(sf_dir: str):
     )
 
 
+def _q_pack_sequences_documents(sf_dir: str):
+    """Sequence-packing manifest (GPT-style concat-and-chunk): every
+    document's offset in the global id-ordered token stream and the
+    fixed-length training sequences it occupies — computed with the
+    two-pass range-prefix pattern (no task holds the corpus; forced
+    multi-range here so the driver gate exercises the prefix exchange).
+    ORACLE-GATED hash-exact (all integers) vs the DuckDB windowed-sum
+    mirror."""
+    from rayhll.pipelines.packing import pack_sequences
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_sequences(ds, 2048, target_rows_per_range=200)
+
+
 def _q_lm_score_documents(sf_dir: str):
     """CCNet-style fluency scoring: per-document mean bigram
     log-probability under a stupid-backoff count LM trained on the corpus
@@ -1811,8 +1825,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver samples the FIRST 50 entries of this dict
     # for its CORRECTNESS oracle run.  Queries that have never appeared in
     # a driver correctness file (the 4 round-4 additions, the r5
-    # dup_span_documents + lm_score_documents, + the 8 sampled only in
-    # r3) come FIRST so round 5 hard-gates them; the 14 demoted
+    # dup_span/lm_score/pack_sequences trio, + the 8 sampled only in
+    # r3) come FIRST so round 5 hard-gates them; the 15 demoted
     # past position 50 are all green in CORRECTNESS_r04.json and remain
     # repo-gated by pytest mirrors (they cover machinery the promoted set
     # also exercises: hex dump ~ hex_by_lang, count-min counts ~ heavy
@@ -1825,6 +1839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_doc_duplication": _q_cross_doc_duplication,
         "dup_span_documents": _q_dup_span_documents,
         "lm_score_documents": _q_lm_score_documents,
+        "pack_sequences_documents": _q_pack_sequences_documents,
         # -- last sampled in r3 ------------------------------------------
         "window_sliding_distinct_users": _q_window_sliding_distinct_users,
         "session_windows_events": _q_session_windows_events,
@@ -1987,6 +2002,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams, "
             "SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) AS dup_frac "
             "FROM grams JOIN cnt USING(g) GROUP BY doc_id"
+        ),
+        "pack_sequences_documents": (
+            "WITH s AS (SELECT doc_id, "
+            "CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "w AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start FROM s) "
+            "SELECT doc_id, n_tokens, CAST(tok_start AS BIGINT) AS tok_start, "
+            "CASE WHEN n_tokens > 0 THEN tok_start // 2048 END AS seq_first, "
+            "CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 2048 END AS seq_last "
+            "FROM w"
         ),
         "lm_score_documents": (
             "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t "

@@ -853,6 +853,53 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.8)
 
 
+def _q_dup_clusters_documents(sf_dir: str):
+    """Duplicate CLUSTERS (not just pairs): exact n-gram Jaccard pairs over
+    a crafted corpus of near-dup CHAINS, closed under transitivity by the
+    DISTRIBUTED alternating large-star/small-star connected-components
+    rounds — every doc labeled with its cluster's min id, the "keep one
+    per duplicate cluster" contract.  Chains are the case pair-level dedup
+    gets wrong: doc k ~ doc k+1 at trigram Jaccard exactly 55/61 = 0.902
+    (one of 60 tokens swapped at interior positions spaced 4 apart, so
+    each swap flips exactly 3 trigrams), while doc k ~ doc k+2 is 52/64 =
+    0.8125 < the 0.85 threshold — the whole chain is ONE cluster only via
+    the closure.  Plus an identical triple (J=1 clique) and two singleton
+    docs (no pairs -> absent from the output).  ORACLE-GATED hash-exact
+    (all-integer labels) vs a DuckDB recursive-CTE transitive closure over
+    the same exact-Jaccard edge set; LSH recall at J>=0.902 is the same
+    1 - 1e-15 regime the ngram_jaccard_pairs gate pins."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.pipelines.components import connected_components
+    from rayhll.pipelines.dedup import ngram_jaccard_pairs
+
+    rows = []
+    for c, n_docs in enumerate((2, 3, 4, 6)):
+        for k in range(n_docs):
+            toks = [
+                f"s{c}x{j:02d}"
+                if (j % 4 == 0 and 8 <= j < 8 + 4 * k)
+                else f"w{c}x{j:02d}"
+                for j in range(60)
+            ]
+            rows.append({"doc_id": c * 100 + k, "text": " ".join(toks)})
+    for i in range(3):
+        rows.append(
+            {"doc_id": 900 + i, "text": " ".join(f"t00x{j:02d}" for j in range(60))}
+        )
+    for i in range(2):
+        rows.append(
+            {
+                "doc_id": 950 + i,
+                "text": " ".join(f"u{950 + i}x{j:02d}" for j in range(60)),
+            }
+        )
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    pairs = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.85)
+    return connected_components(pairs, method="distributed", num_buckets=8)
+
+
 def _q_simhash_fingerprints(sf_dir: str):
     """64-bit SimHash per document, ORACLE-GATED via semantic
     self-verification: SimHash (Charikar 2002) is a statistic of the token
@@ -1534,6 +1581,20 @@ def _q_pack_sequences_documents(sf_dir: str):
     return pack_sequences(ds, 2048, target_rows_per_range=200)
 
 
+def _q_shuffle_manifest_documents(sf_dir: str):
+    """Deterministic epoch-shuffle manifest: every document's (rank,
+    shard, pos) in the seed-42 global permutation — seeded-sha256 keys,
+    two-pass range prefix for the global rank, ONE key-range-co-located
+    exchange, nothing text-sized moves (pipelines/shuffle.py; forced
+    multi-range so the driver gate exercises the prefix exchange).
+    ORACLE-GATED hash-exact (all integers) vs DuckDB's row_number over
+    the same sha256 key order."""
+    from rayhll.pipelines.shuffle import shuffle_manifest
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return shuffle_manifest(ds, seed=42, num_shards=8, target_rows_per_range=200)
+
+
 def _q_lm_score_documents(sf_dir: str):
     """CCNet-style fluency scoring: per-document mean bigram
     log-probability under a stupid-backoff count LM trained on the corpus
@@ -1825,12 +1886,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver samples the FIRST 50 entries of this dict
     # for its CORRECTNESS oracle run.  Queries that have never appeared in
     # a driver correctness file (the 4 round-4 additions, the r5
-    # dup_span/lm_score/pack_sequences trio, + the 8 sampled only in
-    # r3) come FIRST so round 5 hard-gates them; the 15 demoted
-    # past position 50 are all green in CORRECTNESS_r04.json and remain
-    # repo-gated by pytest mirrors (they cover machinery the promoted set
-    # also exercises: hex dump ~ hex_by_lang, count-min counts ~ heavy
-    # hitters, grouped sample ~ grouped top-k, ...).
+    # dup_span/lm_score/pack_sequences/dup_clusters additions, + the 8
+    # sampled only in r3) come FIRST so round 5 hard-gates them; the 16
+    # demoted past position 50 are all green in CORRECTNESS_r04.json and
+    # remain repo-gated by pytest mirrors (they cover machinery the
+    # promoted set also exercises: hex dump ~ hex_by_lang, count-min
+    # counts ~ heavy hitters, grouped sample ~ grouped top-k, fingerprint
+    # invariants ~ simhash_fingerprints + fingerprint_documents, ...).
     return {
         # -- never driver-gated (r4 + r5 additions) ----------------------
         "decontam_documents": _q_decontam_documents,
@@ -1840,6 +1902,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_documents": _q_dup_span_documents,
         "lm_score_documents": _q_lm_score_documents,
         "pack_sequences_documents": _q_pack_sequences_documents,
+        "dup_clusters_documents": _q_dup_clusters_documents,
+        "shuffle_manifest_documents": _q_shuffle_manifest_documents,
         # -- last sampled in r3 ------------------------------------------
         "window_sliding_distinct_users": _q_window_sliding_distinct_users,
         "session_windows_events": _q_session_windows_events,
@@ -1874,21 +1938,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "ivf_topk_embeddings": _q_ivf_topk_embeddings,
         "kmeans_embeddings": _q_kmeans_embeddings,
-        "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "minhash_dedup_checkpointed": _q_minhash_dedup_checkpointed,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "simhash_fingerprints": _q_simhash_fingerprints,
-        "fingerprint_invariants_crafted": _q_fingerprint_invariants_crafted,
         "lang_id_documents": _q_lang_id_documents,
         "fingerprint_documents": _q_fingerprint_documents,
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode_meta": _q_multimodal_decode_meta,
         "multimodal_video_frames": _q_multimodal_video_frames,
+        # -- past the 50-sample cut: r4-green, pytest-mirrored ------------
+        "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "image_near_dup_pairs_crafted": _q_image_near_dup_pairs_crafted,
         "audio_spectral_crafted": _q_audio_spectral_crafted,
         "window_tumbling_distinct_users": _q_window_tumbling_distinct_users,
-        # -- past the 50-sample cut: r4-green, pytest-mirrored ------------
+        "fingerprint_invariants_crafted": _q_fingerprint_invariants_crafted,
         "hll_distinct_orderkey_linenumber": _q_distinct_orderkey_linenumber,
         "hll_distinct_custkey_by_orderstatus": _q_distinct_custkey_by_orderstatus,
         "hll_estimate_text_probabilistic": _q_hll_estimate_text_probabilistic,
@@ -2002,6 +2066,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams, "
             "SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) AS dup_frac "
             "FROM grams JOIN cnt USING(g) GROUP BY doc_id"
+        ),
+        "shuffle_manifest_documents": (
+            "WITH k AS (SELECT doc_id, "
+            "substring(sha256(CAST(doc_id AS VARCHAR) || ':42'), 1, 16) AS h "
+            "FROM documents), "
+            "r AS (SELECT doc_id, "
+            "CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS rank "
+            "FROM k) "
+            "SELECT doc_id, rank, rank % 8 AS shard, rank // 8 AS pos FROM r"
         ),
         "pack_sequences_documents": (
             "WITH s AS (SELECT doc_id, "
@@ -2251,6 +2324,51 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN counts ca ON ca.doc_id = id_a"
             "  JOIN counts cb ON cb.doc_id = id_b"
             "  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8"
+        ),
+        "dup_clusters_documents": (
+            "WITH RECURSIVE chains(c, L) AS ("
+            "  VALUES (0, 2), (1, 3), (2, 4), (3, 6)"
+            "), docs AS ("
+            "  SELECT CAST(c * 100 + k.k AS BIGINT) AS doc_id, c, k.k AS k"
+            "  FROM chains, range(6) k(k) WHERE k.k < L"
+            "  UNION ALL SELECT CAST(900 + i.i AS BIGINT), -1, 0 FROM range(3) i(i)"
+            "  UNION ALL SELECT CAST(950 + i.i AS BIGINT), -2, CAST(i.i AS BIGINT)"
+            "  FROM range(2) i(i)"
+            "), toks AS ("
+            "  SELECT doc_id, j.j AS pos,"
+            "         CASE WHEN c = -1 THEN printf('t00x%02d', CAST(j.j AS INT))"
+            "              WHEN c = -2 THEN printf('u%dx%02d', CAST(950 + k AS INT),"
+            "                                      CAST(j.j AS INT))"
+            "              WHEN j.j % 4 = 0 AND j.j >= 8 AND j.j < 8 + 4 * k"
+            "                THEN printf('s%dx%02d', CAST(c AS INT), CAST(j.j AS INT))"
+            "              ELSE printf('w%dx%02d', CAST(c AS INT), CAST(j.j AS INT))"
+            "         END AS tok"
+            "  FROM docs, range(60) j(j)"
+            "), grams AS ("
+            "  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g"
+            "  FROM toks a"
+            "  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1"
+            "  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2"
+            "), counts AS ("
+            "  SELECT doc_id, COUNT(DISTINCT g) AS n FROM grams GROUP BY doc_id"
+            "), inter AS ("
+            "  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(DISTINCT x.g) AS i"
+            "  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id"
+            "  GROUP BY x.doc_id, y.doc_id"
+            "), edges AS ("
+            "  SELECT id_a AS a, id_b AS b FROM inter"
+            "  JOIN counts ca ON ca.doc_id = id_a"
+            "  JOIN counts cb ON cb.doc_id = id_b"
+            "  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.85"
+            "), sym AS ("
+            "  SELECT a, b FROM edges UNION SELECT b, a FROM edges"
+            "), nodes AS ("
+            "  SELECT DISTINCT a AS n FROM sym"
+            "), reach(n, r) AS ("
+            "  SELECT n, n FROM nodes"
+            "  UNION SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.n"
+            ") SELECT n AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id "
+            "FROM reach GROUP BY n"
         ),
         "minhash_near_dup_pairs": (
             "SELECT CAST(r AS BIGINT) AS id_a, CAST(r + 100 AS BIGINT) AS id_b "

@@ -1567,6 +1567,91 @@ def _q_kmeans_embeddings(sf_dir: str):
     )
 
 
+def _q_quality_classifier_documents(sf_dir: str):
+    """Distributed linear quality classifier (the fastText-style
+    train-on-seed/score-the-corpus quality filter), ORACLE-GATED on its
+    contract like kmeans_embeddings: (a) a crafted separable seed set
+    (disjoint good/spam vocabularies over HashingVectorizer features)
+    trains to EXACT accuracy 1.0, (b) per-iteration log-loss is monotone
+    non-increasing (convexity at this lr), (c) the DISTRIBUTED fit equals
+    the single-matrix numpy reference to 1e-6 (per-block float reduction
+    order is the only difference), (d) the corpus-scale scoring pass
+    (zero shuffle) labels every real document — row count is the SQL
+    mirror."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.pipelines.classifier import (
+        logreg_fit,
+        logreg_fit_reference,
+        logreg_predict,
+    )
+    from rayhll.pipelines.text import HashingVectorizer
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(120):
+        k = int(rng.integers(10, 24))
+        rows.append(
+            {
+                "doc_id": i,
+                "label": 1,
+                "text": " ".join(f"good{rng.integers(50)}" for _ in range(k)),
+            }
+        )
+        rows.append(
+            {
+                "doc_id": 1000 + i,
+                "label": 0,
+                "text": " ".join(f"spam{rng.integers(50)}" for _ in range(k)),
+            }
+        )
+    seed = (
+        rd.from_arrow(pa.Table.from_pylist(rows))
+        .repartition(4)
+        .map_batches(
+            HashingVectorizer(dim=256), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .materialize()
+    )
+    w, hist = logreg_fit(seed, iters=40, lr=4.0)
+
+    df = seed.to_pandas().sort_values("doc_id")
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    y = df["label"].to_numpy().astype(np.float64)
+    w_ref, _ = logreg_fit_reference(X, y, iters=40, lr=4.0)
+
+    train = logreg_predict(seed, w).to_pandas()
+    corpus = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        HashingVectorizer(dim=256), batch_format="pyarrow", zero_copy_batch=True
+    )
+    scored = logreg_predict(corpus, w).to_pandas()
+
+    return pa.table(
+        {
+            "n_train": pa.array([len(train)], type=pa.int64()),
+            "train_acc_ok": pa.array(
+                [bool((train["quality_label"] == train["label"]).all())],
+                type=pa.bool_(),
+            ),
+            "loss_monotone": pa.array(
+                [
+                    all(
+                        hist[i + 1] <= hist[i] + 1e-12
+                        for i in range(len(hist) - 1)
+                    )
+                ],
+                type=pa.bool_(),
+            ),
+            "dist_matches_reference": pa.array(
+                [bool(np.allclose(w, w_ref, atol=1e-6))], type=pa.bool_()
+            ),
+            "n_scored": pa.array([len(scored)], type=pa.int64()),
+        }
+    )
+
+
 def _q_pack_sequences_documents(sf_dir: str):
     """Sequence-packing manifest (GPT-style concat-and-chunk): every
     document's offset in the global id-ordered token stream and the
@@ -1904,6 +1989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": _q_pack_sequences_documents,
         "dup_clusters_documents": _q_dup_clusters_documents,
         "shuffle_manifest_documents": _q_shuffle_manifest_documents,
+        "quality_classifier_documents": _q_quality_classifier_documents,
         # -- last sampled in r3 ------------------------------------------
         "window_sliding_distinct_users": _q_window_sliding_distinct_users,
         "session_windows_events": _q_session_windows_events,
@@ -1917,7 +2003,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_text": _q_distinct_text,
         "hll_distinct_text_by_lang": _q_distinct_text_by_lang,
         "hll_distinct_users_by_event_type": _q_distinct_users_by_event_type,
-        "hll_distinct_orderkey": _q_distinct_orderkey,
         "sha256_invariant": _q_sha256_invariant,
         "flagship_code_global": _q_flagship_code_global,
         "hll_sketch_hex_by_lang": _q_hll_sketch_hex_by_lang,
@@ -1948,6 +2033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_meta": _q_multimodal_decode_meta,
         "multimodal_video_frames": _q_multimodal_video_frames,
         # -- past the 50-sample cut: r4-green, pytest-mirrored ------------
+        "hll_distinct_orderkey": _q_distinct_orderkey,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "image_near_dup_pairs_crafted": _q_image_near_dup_pairs_crafted,
         "audio_spectral_crafted": _q_audio_spectral_crafted,
@@ -2066,6 +2152,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams, "
             "SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) AS dup_frac "
             "FROM grams JOIN cnt USING(g) GROUP BY doc_id"
+        ),
+        "quality_classifier_documents": (
+            "SELECT CAST(240 AS BIGINT) AS n_train, TRUE AS train_acc_ok, "
+            "TRUE AS loss_monotone, TRUE AS dist_matches_reference, "
+            "CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_scored"
         ),
         "shuffle_manifest_documents": (
             "WITH k AS (SELECT doc_id, "

@@ -60,10 +60,12 @@ __all__ = ["connected_components", "keep_representatives"]
 MAX_DRIVER_EDGES = 32_000_000
 
 
-def _edge_arrays(pairs, left_col: str, right_col: str):
+def _edge_arrays(pairs, left_col: str, right_col: str, cap: int):
     """Collect the pair table's endpoints as two clean int64 arrays
     (nulls and self-loops dropped).  Driver-method only — one pass over
-    compact id pairs, bounded by the caller's ``max_driver_edges``."""
+    compact id pairs; the cap is enforced on the per-block counts BEFORE
+    anything concatenates driver-side (blocks live in the object store
+    until then), so an over-cap graph raises instead of OOMing."""
     import ray
 
     def project(t: pa.Table) -> pa.Table:
@@ -80,6 +82,12 @@ def _edge_arrays(pairs, left_col: str, right_col: str):
         pairs.map_batches(project, batch_format="pyarrow").to_arrow_refs()
     )
     parts = [t for t in parts if "a" in t.column_names and t.num_rows]
+    total = sum(t.num_rows for t in parts)
+    if total > cap:
+        raise ValueError(
+            f"connected_components(method='driver'): {total} edges exceed "
+            f"max_driver_edges={cap}; use method='distributed'"
+        )
     if not parts:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     whole = pa.concat_tables(parts)
@@ -429,12 +437,7 @@ def connected_components(
         stats_out["method"] = method
 
     if method == "driver":
-        a, b = _edge_arrays(pairs, left_col, right_col)
-        if len(a) > cap:
-            raise ValueError(
-                f"connected_components(method='driver'): {len(a)} edges exceed "
-                f"max_driver_edges={cap}; use method='distributed'"
-            )
+        a, b = _edge_arrays(pairs, left_col, right_col, cap)
         nodes, labels = _label_edges(a, b)
         if stats_out is not None:
             stats_out["n_edges"] = int(len(a))

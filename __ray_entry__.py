@@ -1567,6 +1567,47 @@ def _q_kmeans_embeddings(sf_dir: str):
     )
 
 
+def _q_dsir_select_documents(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    target/raw histograms (fixed-size partials tree-merged, zero
+    shuffle), broadcast log-ratio weights, deterministic top-k
+    selection.  Crafted so the float weight ordering provably equals an
+    INTEGER ordering the oracle can mirror exactly: raw doc i holds
+    (i % 41) target-vocab tokens + 30 noise tokens, the two vocab tokens
+    occupy distinct hash buckets (verified at construction), so weight =
+    n_good*lr_g + 30*lr_x with lr_g > 0 > lr_x is strictly monotone in
+    n_good and ties resolve by doc_id — ORACLE-GATED hash-exact vs
+    ``ORDER BY i % 41 DESC, i LIMIT 25``."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayhll.pipelines.dsir import (
+        dsir_log_weights,
+        dsir_select,
+        hashed_ngram_counts,
+    )
+
+    target = rd.from_arrow(
+        pa.Table.from_pylist(
+            [{"doc_id": 10_000 + i, "text": " ".join(["qualgood"] * 20)} for i in range(50)]
+        )
+    )
+    raw_rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(["qualgood"] * (i % 41) + ["webnoise"] * 30),
+        }
+        for i in range(120)
+    ]
+    raw = rd.from_arrow(pa.Table.from_pylist(raw_rows)).repartition(4)
+    nb = 4096
+    tc = hashed_ngram_counts(target, num_buckets=nb)
+    rc = hashed_ngram_counts(raw, num_buckets=nb)
+    w = dsir_log_weights(raw, tc, rc, smoothing=1e-3)
+    sel = dsir_select(w, 25, mode="topk")
+    return sel.select_columns(["doc_id", "n_grams"])
+
+
 def _q_quality_classifier_documents(sf_dir: str):
     """Distributed linear quality classifier (the fastText-style
     train-on-seed/score-the-corpus quality filter), ORACLE-GATED on its
@@ -1971,13 +2012,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver samples the FIRST 50 entries of this dict
     # for its CORRECTNESS oracle run.  Queries that have never appeared in
     # a driver correctness file (the 4 round-4 additions, the r5
-    # dup_span/lm_score/pack_sequences/dup_clusters additions, + the 8
-    # sampled only in r3) come FIRST so round 5 hard-gates them; the 16
-    # demoted past position 50 are all green in CORRECTNESS_r04.json and
-    # remain repo-gated by pytest mirrors (they cover machinery the
-    # promoted set also exercises: hex dump ~ hex_by_lang, count-min
-    # counts ~ heavy hitters, grouped sample ~ grouped top-k, fingerprint
-    # invariants ~ simhash_fingerprints + fingerprint_documents, ...).
+    # dup_span/lm_score/pack_sequences/dup_clusters/shuffle_manifest/
+    # quality_classifier/dsir additions, + the 8 sampled only in r3) come
+    # FIRST so round 5 hard-gates them; the 19 demoted past position 50
+    # are all green in CORRECTNESS_r04.json and remain repo-gated by
+    # pytest mirrors (they cover machinery the promoted set also
+    # exercises: hex dump ~ hex_by_lang, count-min counts ~ heavy
+    # hitters, grouped sample ~ grouped top-k, fingerprint invariants ~
+    # simhash_fingerprints + fingerprint_documents, orderkey distinct ~
+    # the three promoted hll_distinct gates, video frames ~ the two
+    # promoted multimodal gates, ...).
     return {
         # -- never driver-gated (r4 + r5 additions) ----------------------
         "decontam_documents": _q_decontam_documents,
@@ -1990,6 +2034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters_documents": _q_dup_clusters_documents,
         "shuffle_manifest_documents": _q_shuffle_manifest_documents,
         "quality_classifier_documents": _q_quality_classifier_documents,
+        "dsir_select_documents": _q_dsir_select_documents,
         # -- last sampled in r3 ------------------------------------------
         "window_sliding_distinct_users": _q_window_sliding_distinct_users,
         "session_windows_events": _q_session_windows_events,
@@ -2031,8 +2076,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode_meta": _q_multimodal_decode_meta,
-        "multimodal_video_frames": _q_multimodal_video_frames,
         # -- past the 50-sample cut: r4-green, pytest-mirrored ------------
+        "multimodal_video_frames": _q_multimodal_video_frames,
         "hll_distinct_orderkey": _q_distinct_orderkey,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "image_near_dup_pairs_crafted": _q_image_near_dup_pairs_crafted,
@@ -2152,6 +2197,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams, "
             "SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) AS dup_frac "
             "FROM grams JOIN cnt USING(g) GROUP BY doc_id"
+        ),
+        "dsir_select_documents": (
+            "SELECT CAST(i AS BIGINT) AS doc_id, "
+            "CAST(i % 41 + 30 AS BIGINT) AS n_grams "
+            "FROM range(120) t(i) ORDER BY i % 41 DESC, i LIMIT 25"
         ),
         "quality_classifier_documents": (
             "SELECT CAST(240 AS BIGINT) AS n_train, TRUE AS train_acc_ok, "

@@ -97,9 +97,9 @@ def _edge_arrays(pairs, left_col: str, right_col: str, cap: int):
 def _label_edges(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized connected-component labels for an edge list: returns
     ``(nodes, labels)`` with ``labels[i]`` = min original id reachable from
-    ``nodes[i]``.  Min-propagation over edges + pointer jumping — O(E)
-    numpy work per pass, O(log n) passes on typical dup graphs (each pass
-    at least halves label-tree depth)."""
+    ``nodes[i]``.  Shiloach-Vishkin-style root hooking + pointer jumping —
+    O(E) numpy work per pass, O(log n) passes on ANY graph shape
+    (including paths, the diameter worst case)."""
     nodes, inv = np.unique(np.concatenate((a, b)), return_inverse=True)
     ea, eb = inv[: len(a)], inv[len(a) :]
     # np.unique sorts, so compact-index order == id order: min compact
@@ -636,6 +636,11 @@ def keep_representatives(
 
     ``method="join"``: bucketed ANTI join against the non-representative
     ids — shuffles the corpus once but scales to any drop-set size.
+
+    Input contract: the corpus ``id_col`` is non-null on the broadcast
+    path (the searchsorted filter raises on nulls — loud, matching the
+    other per-document pipelines); the join path keeps null-id rows
+    (anti-join null semantics: null keys never match).
     """
     import ray
 

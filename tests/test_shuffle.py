@@ -55,6 +55,17 @@ def test_empty_and_validation(ray_session):
         shuffle_manifest(empty, num_shards=0)
 
 
+def test_string_ids(ray_session):
+    """String ids permute too (the SQL mirror needs integers, but the
+    operator itself only needs str(id) uniqueness)."""
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([f"url/{i}" for i in range(60)])})
+    ).repartition(3)
+    df = shuffle_manifest(ds, seed=1, num_shards=4, target_rows_per_range=15).to_pandas()
+    assert sorted(df["rank"]) == list(range(60))
+    assert sorted(df["doc_id"]) == sorted(f"url/{i}" for i in range(60))
+
+
 def test_duckdb_mirror(ray_session):
     ids = [int(i) for i in np.random.default_rng(11).permutation(300)]
     got = _manifest(ids, seed=42, num_shards=8, target_rows_per_range=50)

@@ -219,6 +219,54 @@ def test_keep_representatives(ray_session, method):
             keep_representatives(corpus, comps, method="broadcast", max_ids=1)
 
 
+def test_composition_equals_exact_dedup(ray_session):
+    """Cross-validation of two INDEPENDENT 'keep one per duplicate group'
+    implementations: exact-duplicate pairs -> connected_components ->
+    keep_representatives must keep exactly the rows exact_dedup_keep_ids
+    keeps (both are min-id semantics; duplicate groups here are cliques,
+    so the closure adds nothing — the implementations must agree)."""
+    import pandas as pd
+
+    from rayhll.pipelines.dedup import exact_dedup_keep_ids
+
+    rng = np.random.default_rng(31)
+    texts = [f"text variant {i}" for i in range(30)]
+    rows = [
+        {"doc_id": int(i), "text": texts[rng.integers(0, 30)]} for i in range(150)
+    ]
+    corpus = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+
+    # exact-duplicate pairs straight from text equality (driver-side on
+    # this tiny corpus; at scale minhash_exact_dup_pairs produces these)
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r["text"], []).append(r["doc_id"])
+    edges = [
+        (g[i], g[j])
+        for g in by_text.values()
+        for i in range(len(g))
+        for j in range(i + 1, len(g))
+    ]
+    comps = connected_components(_pairs_ds(edges), method="driver")
+    kept = (
+        keep_representatives(corpus, comps, method="broadcast")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want_ids = sorted(
+        exact_dedup_keep_ids(corpus, "text", "doc_id").to_pandas()["doc_id"]
+    )
+    assert kept["doc_id"].tolist() == want_ids
+    pd.testing.assert_frame_equal(
+        kept,
+        pd.DataFrame(rows)
+        .loc[lambda d: d["doc_id"].isin(want_ids)]
+        .sort_values("doc_id")
+        .reset_index(drop=True),
+    )
+
+
 def test_duckdb_recursive_mirror(ray_session):
     """The driver-oracle shape: recursive-CTE closure over the same edge
     table must equal both methods."""

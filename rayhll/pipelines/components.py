@@ -43,17 +43,22 @@ builder-brief training-data-pipeline requirement (dedup family closure).
 from __future__ import annotations
 
 import logging
+import os
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from rayhll.functions.hashing import splitmix64
-from rayhll.functions.partitioning import resolve_num_buckets
+from rayhll.functions.partitioning import TARGET_ROWS_PER_TASK, resolve_num_buckets
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["connected_components", "keep_representatives"]
+__all__ = [
+    "connected_components",
+    "connected_components_checkpointed",
+    "keep_representatives",
+]
 
 #: driver-method edge cap: 2 int64 columns x 32M = 512 MB driver arrays,
 #: the same comfort zone as dedup.PREFILTER_MAX_IDS
@@ -452,8 +457,6 @@ def connected_components(
         )
 
     # ---- distributed: skew-safe min-label rounds over materialized edges
-    from rayhll.functions.partitioning import TARGET_ROWS_PER_TASK
-
     num_buckets = resolve_num_buckets(
         pairs, num_buckets, rows_per_input_row=2.0, approx_rows=approx_edges
     )
@@ -486,78 +489,12 @@ def connected_components(
         normalize, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    def _stats(ds):
-        """(count, checksum) of a materialized edge set: one cheap pass
-        over compact rows, reduced as an XOR fold (order-independent)."""
-        import ray
-
-        def block_ck(t: pa.Table) -> pa.Table:
-            if "_src" not in t.column_names or not t.num_rows:
-                return pa.table(
-                    {
-                        "n": pa.array([0], type=pa.int64()),
-                        "ck": pa.array([0], type=pa.uint64()),
-                    }
-                )
-            s = t.column("_src").to_numpy()
-            d = t.column("_dst").to_numpy()
-            return pa.table(
-                {
-                    "n": pa.array([len(s)], type=pa.int64()),
-                    "ck": pa.array([_edge_checksum(s, d)], type=pa.uint64()),
-                }
-            )
-
-        parts = ray.get(
-            ds.map_batches(block_ck, batch_format="pyarrow").to_arrow_refs()
-        )
-        n, ck = 0, np.uint64(0)
-        with np.errstate(over="ignore"):
-            for t in parts:
-                if "n" not in t.column_names:
-                    continue
-                n += int(pc.sum(t.column("n")).as_py() or 0)
-                ck += np.uint64(t.column("ck").to_numpy().sum(dtype=np.uint64))
-        return n, int(ck)
-
     prev = None
     rounds = 0
     round_stats: dict = {}
     for rounds in range(1, max_rounds + 1):
-        if hot_degree_threshold is not None:
-            hot_threshold = int(hot_degree_threshold)
-        else:
-            # auto: a node is hot once its degree exceeds ~2x the average
-            # per-bucket load — as components coalesce, a star's whole
-            # edge set funnels to its root's bucket in the mu-round (min
-            # endpoint == root), so WITHOUT this the last rounds serialize
-            # on one task per giant component long before the fixed
-            # memory bound bites.  Clamped: the floor keeps tiny graphs
-            # off the broadcast path, the ceiling keeps the hot set
-            # small (<= 2E/threshold rows) and every cold group under
-            # TARGET_ROWS_PER_TASK.  edges is materialized, so count()
-            # is metadata.
-            rows_cur = edges.count()
-            hot_threshold = int(
-                min(
-                    TARGET_ROWS_PER_TASK,
-                    max(4096, (2 * rows_cur) // max(num_buckets, 1)),
-                )
-            )
-        edges = _min_label_round(edges, num_buckets, hot_threshold, round_stats)
-        # pin the per-round block count: Ray's sort-based groupby emits as
-        # many output blocks as it gets input blocks, and the mu-row union
-        # adds more — left alone the block count DOUBLES per round and
-        # per-block fixed overhead compounds geometrically (measured
-        # 128->1024 blocks and 5.6->148 s/round by round 4 on a 100k-edge
-        # path).  repartition(shuffle=False) is a split/merge pass, not an
-        # exchange.
-        edges = (
-            _witness_round(edges, num_buckets)
-            .repartition(num_buckets)
-            .materialize()
-        )
-        cur = _stats(edges)
+        edges = _one_round(edges, num_buckets, hot_degree_threshold, round_stats)
+        cur = _edge_stats(edges)
         if cur == prev:
             break
         prev = cur
@@ -572,10 +509,82 @@ def connected_components(
         stats_out["n_edges"] = prev[0]
         stats_out["hot_nodes"] = round_stats.get("hot_nodes", 0)
 
-    # fixpoint edge set is a star forest (child -> component-min root).
-    # one final node-bucketed distinct pass emits (child, root) plus the
-    # roots' own (root, root) rows — the self rows dedup'd PER BATCH so a
-    # giant component's root ships <= #blocks copies, never #children.
+    return _emit_labels(edges, num_buckets, out_node_col, out_comp_col)
+
+
+def _one_round(edges, num_buckets: int, hot_degree_threshold, round_stats: dict):
+    """One full (mu + witness) round over MATERIALIZED edges, returning
+    materialized edges with a pinned block count."""
+    if hot_degree_threshold is not None:
+        hot_threshold = int(hot_degree_threshold)
+    else:
+        # auto: a node is hot once its degree exceeds ~2x the average
+        # per-bucket load — as components coalesce, a star's whole edge
+        # set funnels to its root's bucket in the mu-round (min endpoint
+        # == root), so WITHOUT this the last rounds serialize on one task
+        # per giant component long before the fixed memory bound bites.
+        # Clamped: the floor keeps tiny graphs off the broadcast path,
+        # the ceiling keeps the hot set small (<= 2E/threshold rows) and
+        # every cold group under TARGET_ROWS_PER_TASK.  edges is
+        # materialized, so count() is metadata.
+        rows_cur = edges.count()
+        hot_threshold = int(
+            min(
+                TARGET_ROWS_PER_TASK,
+                max(4096, (2 * rows_cur) // max(num_buckets, 1)),
+            )
+        )
+    out = _min_label_round(edges, num_buckets, hot_threshold, round_stats)
+    # pin the per-round block count: Ray's sort-based groupby emits as
+    # many output blocks as it gets input blocks, and the mu-row union
+    # adds more — left alone the block count DOUBLES per round and
+    # per-block fixed overhead compounds geometrically (measured 128->1024
+    # blocks and 5.6->148 s/round by round 4 on a 100k-edge path).
+    # repartition(shuffle=False) is a split/merge pass, not an exchange.
+    return _witness_round(out, num_buckets).repartition(num_buckets).materialize()
+
+
+def _edge_stats(ds) -> tuple[int, int]:
+    """(count, checksum) of a materialized edge set: one cheap pass over
+    compact rows, reduced as a wrapping-sum fold (order-independent)."""
+    import ray
+
+    def block_ck(t: pa.Table) -> pa.Table:
+        if "_src" not in t.column_names or not t.num_rows:
+            return pa.table(
+                {
+                    "n": pa.array([0], type=pa.int64()),
+                    "ck": pa.array([0], type=pa.uint64()),
+                }
+            )
+        s = t.column("_src").to_numpy()
+        d = t.column("_dst").to_numpy()
+        return pa.table(
+            {
+                "n": pa.array([len(s)], type=pa.int64()),
+                "ck": pa.array([_edge_checksum(s, d)], type=pa.uint64()),
+            }
+        )
+
+    parts = ray.get(
+        ds.map_batches(block_ck, batch_format="pyarrow").to_arrow_refs()
+    )
+    n, ck = 0, np.uint64(0)
+    with np.errstate(over="ignore"):
+        for t in parts:
+            if "n" not in t.column_names:
+                continue
+            n += int(pc.sum(t.column("n")).as_py() or 0)
+            ck += np.uint64(t.column("ck").to_numpy().sum(dtype=np.uint64))
+    return n, int(ck)
+
+
+def _emit_labels(edges, num_buckets: int, out_node_col: str, out_comp_col: str):
+    """Final labels from a fixpoint star forest (child -> component-min
+    root): one node-bucketed distinct pass emitting (child, root) plus the
+    roots' own (root, root) rows — the self rows dedup'd PER BATCH so a
+    giant component's root ships <= #blocks copies, never #children."""
+
     def emit_labeled(batch: pa.Table) -> pa.Table:
         s = batch.column("_src").to_numpy()
         d = batch.column("_dst").to_numpy()
@@ -611,6 +620,178 @@ def connected_components(
         .groupby("_bucket")
         .map_groups(distinct_nodes, batch_format="pyarrow")
     )
+
+
+def connected_components_checkpointed(
+    pairs,
+    out_dir: str,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    out_node_col: str = "doc_id",
+    out_comp_col: str = "cluster_id",
+    num_buckets: int | None = None,
+    approx_edges: int | None = None,
+    max_rounds: int = 64,
+    hot_degree_threshold: int | None = None,
+    stats_out: dict | None = None,
+):
+    """Round-checkpointed distributed connected components: every round's
+    edge multiset persists as parquet under ``out_dir``, so a crashed or
+    budget-exhausted run resumes from its last completed round instead of
+    re-shuffling the whole pair graph (the dedup-family checkpoint story,
+    extended to the closure step — a 100-TB pair graph's CC run is hours
+    of exchanges).
+
+    Layout::
+
+        out_dir/cc_manifest.json   settings hash, resolved fanout,
+                                   per-round (n, checksum), converged flag
+        out_dir/round-NNNN/        the round's edge multiset (round 0 =
+                                   the normalized, block-contracted input)
+        out_dir/result/            final (node, component) labels
+
+    Resume semantics: same ``out_dir`` + same settings skips completed
+    rounds (reads the latest round's parquet); a converged run returns the
+    stored result without touching ``pairs``.  Exhausting ``max_rounds``
+    raises but KEEPS the completed rounds — rerun with a higher budget to
+    continue.  Rounds are a pure function of the previous round, writes
+    are atomic (temp dir + rename; the manifest commits AFTER its round
+    directory, so an orphan round dir from a mid-write crash is replaced
+    on resume), and only the last two round dirs are retained.  Settings
+    changes under the same ``out_dir`` raise (stale-lineage guard)."""
+    import json
+    import shutil
+
+    import ray.data as rd
+
+    from rayhll.state.checkpoint import settings_fingerprint
+
+    if hot_degree_threshold is not None and hot_degree_threshold < 1:
+        raise ValueError("hot_degree_threshold must be >= 1")
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "cc_manifest.json")
+
+    def _settings_hash(nb: int) -> str:
+        return settings_fingerprint(
+            (
+                "cc-v1",
+                left_col,
+                right_col,
+                out_node_col,
+                out_comp_col,
+                nb,
+                hot_degree_threshold,
+            )
+        )
+
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            man = json.load(f)
+        if man["settings_hash"] != _settings_hash(man["num_buckets"]) or (
+            num_buckets is not None and num_buckets != man["num_buckets"]
+        ):
+            raise ValueError(
+                f"connected_components_checkpointed: {out_dir} holds a run "
+                "with different settings; use a fresh out_dir"
+            )
+        num_buckets = man["num_buckets"]
+    else:
+        num_buckets = resolve_num_buckets(
+            pairs, num_buckets, rows_per_input_row=2.0, approx_rows=approx_edges
+        )
+        man = {
+            "settings_hash": _settings_hash(num_buckets),
+            "num_buckets": num_buckets,
+            "rounds": [],
+            "converged": False,
+        }
+
+    def _round_dir(i: int) -> str:
+        return os.path.join(out_dir, f"round-{i:04d}")
+
+    def _write_atomic(ds, path: str):
+        tmp = path + ".tmp"
+        for p in (tmp, path):
+            if os.path.exists(p):
+                shutil.rmtree(p)  # orphan from a mid-write crash
+        ds.write_parquet(tmp)
+        os.rename(tmp, path)
+
+    def _flush_manifest():
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, manifest_path)
+
+    result_dir = os.path.join(out_dir, "result")
+    if man["converged"]:
+        if stats_out is not None:
+            stats_out["rounds"] = len(man["rounds"]) - 1
+            stats_out["resumed_from"] = "result"
+        return rd.read_parquet(result_dir)
+
+    if not man["rounds"]:
+        # round 0: normalize + block-contract the pair table once
+        def normalize(batch: pa.Table) -> pa.Table:
+            a, b = batch.column(left_col), batch.column(right_col)
+            mask = pc.and_(
+                pc.and_(pc.is_valid(a), pc.is_valid(b)), pc.not_equal(a, b)
+            )
+            t = pa.table({"_src": a, "_dst": b}).filter(mask)
+            an = t.column("_src").cast(pa.int64()).to_numpy()
+            bn = t.column("_dst").cast(pa.int64()).to_numpy()
+            nodes, labels = _label_edges(an, bn)
+            child = nodes != labels
+            return pa.table(
+                {
+                    "_src": pa.array(nodes[child], type=pa.int64()),
+                    "_dst": pa.array(labels[child], type=pa.int64()),
+                }
+            )
+
+        edges = pairs.map_batches(
+            normalize, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        _write_atomic(edges, _round_dir(0))
+        n, ck = _edge_stats(edges)
+        man["rounds"].append({"round": 0, "n": n, "ck": ck})
+        _flush_manifest()
+    else:
+        edges = rd.read_parquet(_round_dir(man["rounds"][-1]["round"])).materialize()
+
+    if stats_out is not None:
+        stats_out["resumed_from"] = man["rounds"][-1]["round"]
+
+    round_stats: dict = {}
+    while True:
+        r = man["rounds"][-1]["round"] + 1
+        if r > max_rounds:
+            raise RuntimeError(
+                f"connected_components_checkpointed: round budget "
+                f"max_rounds={max_rounds} exhausted before convergence; "
+                f"completed rounds are checkpointed under {out_dir} — rerun "
+                "with a higher max_rounds to continue"
+            )
+        edges = _one_round(edges, num_buckets, hot_degree_threshold, round_stats)
+        _write_atomic(edges, _round_dir(r))
+        n, ck = _edge_stats(edges)
+        prev = man["rounds"][-1]
+        man["rounds"].append({"round": r, "n": n, "ck": ck})
+        _flush_manifest()
+        stale = _round_dir(r - 2)
+        if r >= 2 and os.path.exists(stale):
+            shutil.rmtree(stale)
+        if (n, ck) == (prev["n"], prev["ck"]):
+            break
+
+    labels = _emit_labels(edges, num_buckets, out_node_col, out_comp_col)
+    _write_atomic(labels, result_dir)
+    man["converged"] = True
+    _flush_manifest()
+    if stats_out is not None:
+        stats_out["rounds"] = len(man["rounds"]) - 1
+        stats_out["hot_nodes"] = round_stats.get("hot_nodes", 0)
+    return rd.read_parquet(result_dir)
 
 
 def keep_representatives(

@@ -12,6 +12,7 @@ import ray.data as rd
 from rayhll.pipelines.components import (
     MAX_DRIVER_EDGES,
     connected_components,
+    connected_components_checkpointed,
     keep_representatives,
 )
 
@@ -265,6 +266,57 @@ def test_composition_equals_exact_dedup(ray_session):
         .sort_values("doc_id")
         .reset_index(drop=True),
     )
+
+
+def test_checkpointed_fresh_resume_and_guard(ray_session, tmp_path):
+    """Checkpointed CC: fresh run == driver labels; a converged rerun
+    returns the stored result without recomputing; a settings change
+    under the same out_dir raises."""
+    rng = np.random.default_rng(41)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 200, size=(250, 2))]
+    ds = _pairs_ds(edges, repartition=4)
+    want = _labels(connected_components(ds, method="driver"))
+
+    out = str(tmp_path / "cc")
+    stats = {}
+    got = _labels(
+        connected_components_checkpointed(ds, out, num_buckets=4, stats_out=stats)
+    )
+    assert got == want
+    assert stats["rounds"] >= 1 and stats["resumed_from"] == 0
+
+    stats2 = {}
+    again = _labels(
+        connected_components_checkpointed(ds, out, num_buckets=4, stats_out=stats2)
+    )
+    assert again == want
+    assert stats2["resumed_from"] == "result"
+
+    with pytest.raises(ValueError, match="different settings"):
+        connected_components_checkpointed(ds, out, num_buckets=8)
+
+
+def test_checkpointed_budget_exhaustion_resumes(ray_session, tmp_path):
+    """A run that exhausts max_rounds raises but keeps its rounds; the
+    rerun continues from the checkpoint instead of round 0 and lands on
+    the same labels."""
+    rng = np.random.default_rng(43)
+    ids = rng.permutation(120)
+    edges = list(zip(ids[:-1].tolist(), ids[1:].tolist()))  # one long path
+    ds = _pairs_ds(edges, repartition=5)
+    want = _labels(connected_components(ds, method="driver"))
+
+    out = str(tmp_path / "cc_budget")
+    with pytest.raises(RuntimeError, match="checkpointed under"):
+        connected_components_checkpointed(ds, out, num_buckets=4, max_rounds=1)
+    stats = {}
+    got = _labels(
+        connected_components_checkpointed(
+            ds, out, num_buckets=4, max_rounds=40, stats_out=stats
+        )
+    )
+    assert got == want
+    assert stats["resumed_from"] >= 1  # continued, not restarted
 
 
 def test_duckdb_recursive_mirror(ray_session):

@@ -6,7 +6,11 @@ Two adversarial graph shapes at millions of edges:
   rounds: label information must travel the whole chain, so this pins
   the O(log n) round count rather than the per-round cost);
 * ``random`` — a sparse Erdos-Renyi-ish graph with a planted giant
-  component plus many small ones (the realistic near-dup-graph shape).
+  component plus many small ones (the realistic near-dup-graph shape);
+* ``star`` — ONE flat component of n_edges+1 nodes all paired with the
+  minimum node (the boilerplate/empty-doc case a web corpus
+  guarantees): the mu-round's hot-degree broadcast must absorb the
+  root, or every edge funnels through one reduce task.
 
 Verifies against the driver method (vectorized min-propagation) at any
 size the driver can hold, and prints rounds + wall + edges/s.
@@ -33,6 +37,10 @@ def build_edges(n_edges: int, shape: str) -> tuple[np.ndarray, np.ndarray]:
     if shape == "path":
         perm = rng.permutation(n_edges + 1).astype(np.int64)
         return perm[:-1], perm[1:]
+    if shape == "star":
+        hub = np.full(n_edges, 3, dtype=np.int64)  # hub is NOT id 0 on purpose
+        leaves = rng.permutation(n_edges).astype(np.int64) + 4
+        return hub, leaves
     # random: half the edges in a giant component over [0, n), half in
     # small cliquelets of 4 over [n, 2n)
     n = n_edges

@@ -112,8 +112,13 @@ def logreg_fit(
         return gpass
 
     for _ in range(iters):
+        # batch_size=None: ONE gradient partial per BLOCK (the default
+        # ~1k-row batches would multiply the driver-collected rows ~1000x)
         parts = ds.map_batches(
-            make_pass(ray.put(w)), batch_format="pyarrow", zero_copy_batch=True
+            make_pass(ray.put(w)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
         ).to_pandas()  # one ~(dim+1)-float row per block — driver-small
         n = int(parts["n"].sum())
         if n == 0:

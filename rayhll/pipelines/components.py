@@ -228,7 +228,9 @@ def _min_label_round(edges, num_buckets: int, hot_threshold: int, round_stats: d
         )
 
     mu = (
-        edges.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        edges.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
         .groupby("_bucket")
         .map_groups(reduce_mu, batch_format="pyarrow")
         .materialize()
@@ -486,7 +488,7 @@ def connected_components(
         )
 
     edges = pairs.map_batches(
-        normalize, batch_format="pyarrow", zero_copy_batch=True
+        normalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).materialize()
 
     prev = None
@@ -750,7 +752,7 @@ def connected_components_checkpointed(
             )
 
         edges = pairs.map_batches(
-            normalize, batch_format="pyarrow", zero_copy_batch=True
+            normalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         ).materialize()
         _write_atomic(edges, _round_dir(0))
         n, ck = _edge_stats(edges)

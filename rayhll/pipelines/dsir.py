@@ -216,8 +216,17 @@ def dsir_select(
         order = np.lexsort((ids, -key))[:k]
         return tbl.take(pa.array(order))
 
+    # batch_size=None: the partial cut must see WHOLE blocks — with the
+    # default ~1k-row batches a batch smaller than k is never trimmed and
+    # the merge task would receive the whole corpus.  Merge input is
+    # bounded by min(k, block_rows) x blocks.
     return (
-        weights.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+        weights.map_batches(
+            partial_topk,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
         .repartition(1)
         .map_batches(merge_topk, batch_format="pyarrow", batch_size=None)
     )

@@ -109,7 +109,7 @@ def pack_sequences(
         return pa.table({id_col: pa.array(ids[::stride])})
 
     sampled = np.sort(
-        proj.map_batches(sample_ids, batch_format="pyarrow")
+        proj.map_batches(sample_ids, batch_format="pyarrow", batch_size=None)
         .to_pandas()[id_col]
         .to_numpy()
     )
@@ -132,7 +132,7 @@ def pack_sequences(
             }
         )
 
-    per_block = proj.map_batches(range_sums, batch_format="pyarrow").to_pandas()
+    per_block = proj.map_batches(range_sums, batch_format="pyarrow", batch_size=None).to_pandas()
     range_totals = np.zeros(n_ranges, dtype=np.int64)
     np.add.at(range_totals, per_block["_r"].to_numpy(), per_block["_sum"].to_numpy())
     offsets = np.concatenate(([0], np.cumsum(range_totals)[:-1]))

@@ -98,7 +98,7 @@ def shuffle_manifest(
         return pa.table({"_k": pa.array(k[::stride], type=pa.uint64())})
 
     sampled = np.sort(
-        proj.map_batches(sample_keys, batch_format="pyarrow")
+        proj.map_batches(sample_keys, batch_format="pyarrow", batch_size=None)
         .to_pandas()["_k"]
         .to_numpy()
         .astype(np.uint64)
@@ -121,7 +121,7 @@ def shuffle_manifest(
             }
         )
 
-    per_block = proj.map_batches(range_counts, batch_format="pyarrow").to_pandas()
+    per_block = proj.map_batches(range_counts, batch_format="pyarrow", batch_size=None).to_pandas()
     range_totals = np.zeros(n_ranges, dtype=np.int64)
     np.add.at(range_totals, per_block["_r"].to_numpy(), per_block["_count"].to_numpy())
     offsets = np.concatenate(([0], np.cumsum(range_totals)[:-1]))

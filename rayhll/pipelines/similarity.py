@@ -353,8 +353,14 @@ def kmeans_fit(
 
     for _ in range(iters):
         cent_ref = ray.put(cent)
+        # batch_size=None: ONE k-row partial per BLOCK (the default
+        # ~1k-row batches would emit k rows per batch — ~1000x the
+        # driver-collected volume at corpus scale; PERF_NOTES #48)
         parts = ds.map_batches(
-            make_estep(cent_ref), batch_format="pyarrow", zero_copy_batch=True
+            make_estep(cent_ref),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
         ).to_pandas()  # ~k rows per block — driver-small by construction
         dim = cent.shape[1]
         counts = np.zeros(k, dtype=np.int64)

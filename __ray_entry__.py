@@ -1721,6 +1721,24 @@ def _q_shuffle_manifest_documents(sf_dir: str):
     return shuffle_manifest(ds, seed=42, num_shards=8, target_rows_per_range=200)
 
 
+def _q_write_shards_documents(sf_dir: str):
+    """Training-shard delivery: apply the seed-42 shuffle manifest to the
+    documents table and WRITE one parquet per shard (pos-ordered, atomic,
+    per-shard .done receipts = shard-granular resume), then return the
+    receipts — ORACLE-GATED hash-exact vs DuckDB's arg_min/arg_max over
+    the same sha256 rank computation (shard row counts, permutation
+    contiguity, first/last doc per shard).  Writes under a fresh /tmp
+    scratch dir each run."""
+    import tempfile
+
+    from rayhll.pipelines.shuffle import shuffle_manifest, write_shards
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    man = shuffle_manifest(ds, seed=42, num_shards=8, target_rows_per_range=200)
+    out = tempfile.mkdtemp(prefix="rayhll_shards_")
+    return write_shards(ds, man.materialize(), out)
+
+
 def _q_lm_score_documents(sf_dir: str):
     """CCNet-style fluency scoring: per-document mean bigram
     log-probability under a stupid-backoff count LM trained on the corpus
@@ -2035,6 +2053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_manifest_documents": _q_shuffle_manifest_documents,
         "quality_classifier_documents": _q_quality_classifier_documents,
         "dsir_select_documents": _q_dsir_select_documents,
+        "write_shards_documents": _q_write_shards_documents,
         # -- last sampled in r3 ------------------------------------------
         "window_sliding_distinct_users": _q_window_sliding_distinct_users,
         "session_windows_events": _q_session_windows_events,
@@ -2062,7 +2081,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_full_docs_by_lang": _q_curation_full_docs_by_lang,
         "fraction_sample_split_documents": _q_fraction_sample_split_documents,
         "token_budget_sample_documents": _q_token_budget_sample_documents,
-        "hashing_embed_documents": _q_hashing_embed_documents,
         "grouped_top_k_orders": _q_grouped_top_k_orders,
         "kll_event_value_quantiles": _q_kll_event_value_quantiles,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
@@ -2077,6 +2095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode_meta": _q_multimodal_decode_meta,
         # -- past the 50-sample cut: r4-green, pytest-mirrored ------------
+        "hashing_embed_documents": _q_hashing_embed_documents,
         "multimodal_video_frames": _q_multimodal_video_frames,
         "hll_distinct_orderkey": _q_distinct_orderkey,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
@@ -2216,6 +2235,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS rank "
             "FROM k) "
             "SELECT doc_id, rank, rank % 8 AS shard, rank // 8 AS pos FROM r"
+        ),
+        "write_shards_documents": (
+            "WITH k AS (SELECT doc_id, "
+            "substring(sha256(CAST(doc_id AS VARCHAR) || ':42'), 1, 16) AS h "
+            "FROM documents), "
+            "r AS (SELECT doc_id, "
+            "CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS rank "
+            "FROM k), "
+            "s AS (SELECT doc_id, rank % 8 AS shard, rank // 8 AS pos FROM r) "
+            "SELECT CAST(shard AS BIGINT) AS shard, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS pos_contiguous, "
+            "CAST(arg_min(doc_id, pos) AS BIGINT) AS first_doc_id, "
+            "CAST(arg_max(doc_id, pos) AS BIGINT) AS last_doc_id "
+            "FROM s GROUP BY shard"
         ),
         "pack_sequences_documents": (
             "WITH s AS (SELECT doc_id, "

@@ -37,11 +37,13 @@ builder-brief training-data-pipeline requirement (epoch shuffling).
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["shuffle_manifest"]
+__all__ = ["shuffle_manifest", "write_shards"]
 
 
 def shuffle_manifest(
@@ -154,3 +156,121 @@ def shuffle_manifest(
         .groupby("_r")
         .map_groups(rank_range, batch_format="pyarrow")
     )
+
+
+def write_shards(
+    ds,
+    manifest,
+    out_dir: str,
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+):
+    """Apply a :func:`shuffle_manifest` to the corpus and write ONE
+    parquet file per shard, rows in exact permutation (``pos``) order —
+    the resumable training-shard layout: a loader streams
+    ``shard-NNNN.parquet`` files round-robin and sees the global seeded
+    permutation; a crashed writer rerun skips finished shards (the
+    ``shards.json`` manifest is updated atomically after each shard file
+    lands, and shard files themselves are written temp-and-rename).
+
+    Shape: ONE bucketed equi-join attaches (rank, shard, pos) to the
+    corpus, then a shard-keyed groupby sorts each shard locally by
+    ``pos`` and its reduce task writes the file — every shard is an
+    independent task, so shard COUNT is the memory knob (one shard's
+    rows incl. payloads sit in one task; size ``num_shards`` so a shard
+    fits a worker, exactly how training loaders size their files).
+
+    Returns per-shard receipt rows ``(shard, n_rows, pos_contiguous,
+    first_<id>, last_<id>)`` as a Dataset — integers/booleans, so a SQL
+    mirror can gate the whole layout hash-exactly."""
+    import ray.data as rd
+
+    from rayhll.functions.join import bucket_equi_join
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _load_done() -> dict[int, dict]:
+        # the per-shard .done.json receipts ARE the resume state: each is
+        # written atomically by the worker AFTER its parquet landed, so a
+        # crashed run's finished shards survive with no global state file
+        # to lose
+        out: dict[int, dict] = {}
+        for name in os.listdir(out_dir):
+            if name.endswith(".done.json"):
+                with open(os.path.join(out_dir, name)) as f:
+                    r = json.load(f)
+                out[int(r["shard"])] = r
+        return out
+
+    def _receipt_table(done: dict[int, dict]) -> pa.Table:
+        rows = [
+            {
+                "shard": s,
+                "n_rows": v["n_rows"],
+                "pos_contiguous": v["pos_contiguous"],
+                f"first_{id_col}": v["first"],
+                f"last_{id_col}": v["last"],
+            }
+            for s, v in sorted(done.items())
+        ]
+        return pa.Table.from_pylist(rows)
+
+    done = _load_done()
+    if done:
+        # true partition resume: drop finished shards' manifest rows
+        # BEFORE the join, so their corpus rows never enter the exchange.
+        # The count() executes only the compact manifest projection — a
+        # fully-finished rerun must not shuffle the corpus at all.
+        finished = np.fromiter(sorted(done), dtype=np.int64)
+
+        def pending_only(t: pa.Table) -> pa.Table:
+            keep = ~np.isin(t.column("shard").to_numpy(), finished)
+            return t.filter(pa.array(keep))
+
+        manifest = manifest.map_batches(pending_only, batch_format="pyarrow")
+        if manifest.count() == 0:
+            return rd.from_arrow(_receipt_table(done))
+
+    joined = bucket_equi_join(ds, manifest, on=id_col, num_buckets=num_buckets)
+
+    def write_shard(tbl: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        shard = int(tbl.column("shard")[0].as_py())
+        pos = tbl.column("pos").to_numpy()
+        order = np.argsort(pos)
+        tbl = tbl.take(pa.array(order)).drop_columns(["shard"])
+        path = os.path.join(out_dir, f"shard-{shard:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+        pos_sorted = pos[order]
+        contiguous = bool(
+            len(pos_sorted) == 0
+            or (np.diff(pos_sorted) == 1).all()
+        )
+        ids = tbl.column(id_col)
+        receipt = {
+            "shard": shard,
+            "n_rows": tbl.num_rows,
+            "pos_contiguous": contiguous,
+            "first": ids[0].as_py(),
+            "last": ids[len(ids) - 1].as_py(),
+        }
+        rpath = os.path.join(out_dir, f"shard-{shard:05d}.done.json")
+        with open(rpath + ".tmp", "w") as f:
+            json.dump(receipt, f)
+        os.replace(rpath + ".tmp", rpath)
+        return pa.table(
+            {
+                "shard": pa.array([shard], type=pa.int64()),
+                "n_rows": pa.array([tbl.num_rows], type=pa.int64()),
+            }
+        )
+
+    # drive the writes to completion; receipts come from the .done files
+    # (the only source of truth a crash can't split from the parquet)
+    joined.groupby("shard").map_groups(
+        write_shard, batch_format="pyarrow"
+    ).materialize()
+    return rd.from_arrow(_receipt_table(_load_done()))

@@ -8,7 +8,7 @@ import pyarrow as pa
 import pytest
 import ray.data as rd
 
-from rayhll.pipelines.shuffle import shuffle_manifest
+from rayhll.pipelines.shuffle import shuffle_manifest, write_shards
 
 
 def _manifest(ids, seed=0, num_shards=4, **kw):
@@ -64,6 +64,63 @@ def test_string_ids(ray_session):
     df = shuffle_manifest(ds, seed=1, num_shards=4, target_rows_per_range=15).to_pandas()
     assert sorted(df["rank"]) == list(range(60))
     assert sorted(df["doc_id"]) == sorted(f"url/{i}" for i in range(60))
+
+
+def test_write_shards_layout_and_resume(ray_session, tmp_path):
+    """write_shards: every shard file holds its permutation slice in pos
+    order (rank = pos*S + shard reconstructs the global order), receipts
+    are complete, finished shards survive a rerun untouched, and a
+    deleted shard is the only thing a resume rewrites."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(120)), type=pa.int64()),
+                "text": [f"doc {i}" for i in range(120)],
+            }
+        )
+    ).repartition(3)
+    man = shuffle_manifest(corpus, seed=5, num_shards=4, target_rows_per_range=30)
+    man = man.materialize()
+    out = str(tmp_path / "shards")
+    rec = write_shards(corpus, man, out).to_pandas().sort_values("shard")
+    assert rec["shard"].tolist() == [0, 1, 2, 3]
+    assert rec["n_rows"].sum() == 120
+    assert rec["pos_contiguous"].all()
+
+    # reconstruct the global permutation from the shard files
+    mdf = man.to_pandas().set_index("doc_id")
+    for s in range(4):
+        t = pq.read_table(os.path.join(out, f"shard-{s:05d}.parquet"))
+        ids = t.column("doc_id").to_pylist()
+        ranks = [mdf.loc[i, "rank"] for i in ids]
+        # pos order within the shard == rank order; rank = pos*4 + s
+        assert ranks == sorted(ranks)
+        assert all(r % 4 == s for r in ranks)
+        assert t.column("pos").to_pylist() == [r // 4 for r in ranks]
+
+    # rerun: nothing rewritten
+    mtimes = {
+        f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)
+    }
+    rec2 = write_shards(corpus, man, out).to_pandas().sort_values("shard")
+    assert rec2["n_rows"].tolist() == rec["n_rows"].tolist()
+    assert {
+        f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)
+    } == mtimes
+
+    # delete one shard (parquet + receipt): resume rewrites ONLY it
+    os.remove(os.path.join(out, "shard-00002.parquet"))
+    os.remove(os.path.join(out, "shard-00002.done.json"))
+    rec3 = write_shards(corpus, man, out).to_pandas().sort_values("shard")
+    assert rec3["n_rows"].tolist() == rec["n_rows"].tolist()
+    for f, m in mtimes.items():
+        if "00002" not in f:
+            assert os.path.getmtime(os.path.join(out, f)) == m
+    assert os.path.exists(os.path.join(out, "shard-00002.parquet"))
 
 
 def test_duckdb_mirror(ray_session):
